@@ -1,0 +1,120 @@
+"""Ingest stage: dedup, stable ordering, per-turn metric extraction.
+
+Reference parity:
+- duplicate-position suppression (AtomicIndex.java:245-254,273-275) ->
+  deterministic dedup on (conv_id, turn_idx);
+- ordered per-sub-index queues / in-order invariant
+  (MimirIndex.java:173-211) -> stable (conv_id, turn_idx) sort;
+- sub-index per token feature (MimirIndex.java:433-446) -> one metric
+  family per derived column, exploded to (series, point) rows;
+- round-robin federation sharding (FederatedIndexService.groovy:89) ->
+  salted hash partitioning with explicit hot-key split.
+
+Everything here is Catalyst expressions — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Java-regex whitespace (kept ASCII-only so the pandas oracle and the
+# DuckDB oracle agree byte-for-byte on tokenization)
+WS_RE = "[ \\t\\n\\r]+"
+
+
+def token_count_col(text_col="text"):
+    """Whitespace token count; empty/null text -> 0."""
+    t = F.trim(F.col(text_col))
+    return F.when(
+        F.col(text_col).isNull() | (F.length(t) == 0), F.lit(0)
+    ).otherwise(F.size(F.split(t, WS_RE)))
+
+
+def dedup_turns(df: DataFrame) -> DataFrame:
+    """Keep exactly one row per (conv_id, turn_idx), deterministically.
+
+    Total tie-break order over all columns makes the survivor invariant
+    under input shuffling (FIXTURES.md invariant 5).
+    """
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("role").asc_nulls_last(),
+        F.col("tool").asc_nulls_last(),
+        F.col("text").asc_nulls_last(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def ingest(df: DataFrame) -> DataFrame:
+    """Dedup + stable clustering by (conv_id, turn_idx).
+
+    repartition(hash(conv_id)) + sortWithinPartitions preserves the
+    per-turn text-equality invariant: rows are only moved and ordered,
+    never rewritten.
+    """
+    return (
+        dedup_turns(df)
+        .repartition(F.col("conv_id"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+
+
+METRIC_COLS = ("kind", "series_key", "metric", "ts", "conv_id", "turn_idx", "v")
+
+
+def turn_metrics(df: DataFrame) -> DataFrame:
+    """Explode each turn into its (series, point) rows.
+
+    Per turn:
+      (conv, conv_id, turn_rate, 1.0)
+      (conv, conv_id, token_volume, token_count)
+      (conv, conv_id, role_mix_<role>, 1.0)
+      (tool, <tool>, turn_rate, 1.0)      when tool is set
+      (tool, <tool>, token_volume, n)     when tool is set
+
+    The array+explode stays entirely in whole-stage codegen.
+    """
+    tok = token_count_col().cast("double")
+    entry = lambda kind, key, metric, v: F.struct(  # noqa: E731
+        kind.alias("kind"), key.alias("series_key"),
+        metric.alias("metric"), v.alias("v"),
+    )
+    conv = F.col("conv_id")
+    entries = F.array(
+        entry(F.lit("conv"), conv, F.lit("turn_rate"), F.lit(1.0)),
+        entry(F.lit("conv"), conv, F.lit("token_volume"), tok),
+        entry(F.lit("conv"), conv, F.concat(F.lit("role_mix_"), F.col("role")), F.lit(1.0)),
+        entry(F.lit("tool"), F.col("tool"), F.lit("turn_rate"),
+              F.when(F.col("tool").isNotNull(), F.lit(1.0))),
+        entry(F.lit("tool"), F.col("tool"), F.lit("token_volume"),
+              F.when(F.col("tool").isNotNull(), tok)),
+    )
+    return (
+        df.select(F.explode(entries).alias("e"), "ts", "conv_id", "turn_idx")
+        .filter(F.col("e.v").isNotNull() & F.col("e.series_key").isNotNull())
+        .select(
+            F.col("e.kind").alias("kind"),
+            F.col("e.series_key").alias("series_key"),
+            F.col("e.metric").alias("metric"),
+            "ts", "conv_id", "turn_idx",
+            F.col("e.v").alias("v"),
+        )
+    )
+
+
+def with_salt(df: DataFrame, keys: list[str], buckets: int = 16,
+              salt_col: str = "_salt") -> DataFrame:
+    """Explicit skew salt: uniform sub-key within a hot group.
+
+    Used by two-stage aggregation (partial per (keys, salt), final per
+    keys) so a hot conversation/tool can't pin a single reducer — the
+    engine-level analogue of the reference's round-robin doc sharding.
+    """
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(buckets))
+    )

@@ -1,0 +1,85 @@
+"""Deliberately naive pandas reference implementation (the golden oracle).
+
+Plays the role of the reference's cross-backend consistency checks
+(mimir-test/.../TestQueries.java:76-126): an independent, reviewable,
+loop-level implementation of the exact rollup semantics that the Spark
+engine must match bit-for-bit after chunk decode.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from . import codec
+from .rollup import TIER_US
+
+_WS = re.compile(r"[ \t\n\r]+")
+
+
+def token_count(text) -> int:
+    if text is None or (isinstance(text, float) and np.isnan(text)):
+        return 0
+    t = text.strip()
+    return 0 if not t else len(_WS.split(t))
+
+
+def dedup_turns(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One row per (conv_id, turn_idx): min by (ts, role, tool, text)."""
+    key_cols = ["conv_id", "turn_idx"]
+    sort_cols = key_cols + ["ts", "role", "tool", "text"]
+    out = pdf.sort_values(sort_cols, na_position="last", kind="mergesort")
+    return out.drop_duplicates(key_cols, keep="first").reset_index(drop=True)
+
+
+def turn_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Row-per-(series, point) explode — same rules as ingest.turn_metrics."""
+    rows = []
+    for r in pdf.itertuples(index=False):
+        tok = float(token_count(r.text))
+        base = (r.ts, r.conv_id, r.turn_idx)
+        rows.append(("conv", r.conv_id, "turn_rate", *base, 1.0))
+        rows.append(("conv", r.conv_id, "token_volume", *base, tok))
+        rows.append(("conv", r.conv_id, f"role_mix_{r.role}", *base, 1.0))
+        if r.tool is not None and not (isinstance(r.tool, float) and np.isnan(r.tool)):
+            rows.append(("tool", r.tool, "turn_rate", *base, 1.0))
+            rows.append(("tool", r.tool, "token_volume", *base, tok))
+    return pd.DataFrame(
+        rows,
+        columns=["kind", "series_key", "metric", "ts", "conv_id", "turn_idx", "v"],
+    )
+
+
+def rollup(points: pd.DataFrame, tier: str) -> pd.DataFrame:
+    """Naive per-group rollup at one tier, chunks included."""
+    unit = TIER_US[tier]
+    pts = points.sort_values(
+        ["kind", "series_key", "metric", "ts", "conv_id", "turn_idx"],
+        kind="mergesort",
+    ).reset_index(drop=True)
+    ts_us = pts["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    pts = pts.assign(_ts_us=ts_us, bucket_us=ts_us - ts_us % unit)
+    out = []
+    for (kind, key, metric, bucket), g in pts.groupby(
+        ["kind", "series_key", "metric", "bucket_us"], sort=True
+    ):
+        v = g["v"].to_numpy(dtype=np.float64)
+        out.append({
+            "tier": tier, "kind": kind, "series_key": key, "metric": metric,
+            "bucket_ts": np.int64(bucket).astype("datetime64[us]"),
+            "cnt": len(g),
+            "sum_v": float(np.sum(v)),
+            "min_v": float(np.min(v)),
+            "max_v": float(np.max(v)),
+            "last_v": float(v[-1]),
+            "chunk": codec.encode_chunk(g["_ts_us"].to_numpy(), v),
+        })
+    return pd.DataFrame(out)
+
+
+def rollup_transcripts(pdf: pd.DataFrame, tiers=("1m", "1h", "1d")) -> pd.DataFrame:
+    """Full naive pipeline: dedup -> metrics -> per-tier rollups."""
+    points = turn_metrics(dedup_turns(pdf))
+    return pd.concat([rollup(points, t) for t in tiers], ignore_index=True)

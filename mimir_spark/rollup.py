@@ -1,0 +1,231 @@
+"""Tiered rollup engine: continuous aggregates + compressed chunks.
+
+The production path computes ALL retention tiers (1m/1h/1d) in ONE
+shuffle: points are hash-partitioned by (series, day) and sorted by
+(series, ts) within partitions; a single Arrow pass then detects tier
+boundaries positionally and encodes every tier's chunks with the
+vectorized multi-chunk codec — zero per-point Python, zero decode work.
+This is the Spark-first replacement for the reference's per-sub-index
+single-writer pipeline (MimirIndex.java:139,448; one task per partition
+is the single writer) and its batch-flush postings write
+(AtomicIndex.java:940-1083).
+
+The 1m->1h->1d *cascade* (re-aggregation from a finer tier, chunk
+merge included) is also provided — it is the LSM compact analogue
+(AtomicIndex.java:1280-1366) and doubles as the differential test of
+the one-pass path: rollup_1h(from raw) == cascade(rollup_1m).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import codec
+
+TIER_US = {"1m": 60_000_000, "1h": 3_600_000_000, "1d": 86_400_000_000}
+TIER_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+ROLLUP_SCHEMA = (
+    "tier string, kind string, series_key string, metric string, "
+    "bucket_ts timestamp, cnt long, sum_v double, min_v double, "
+    "max_v double, last_v double, chunk binary"
+)
+
+_SERIES_COLS = ["kind", "series_key", "metric"]
+
+
+# ---------------------------------------------------------------------------
+# one-pass multi-tier rollup (the production path)
+# ---------------------------------------------------------------------------
+
+def _rollup_block(kind, key, metric, ts_us, v, tiers) -> pd.DataFrame:
+    """Vectorized rollup of a sorted block of complete day-groups."""
+    n = len(ts_us)
+    series_change = np.zeros(n, dtype=bool)
+    series_change[0] = True
+    if n > 1:
+        series_change[1:] = (
+            (kind[1:] != kind[:-1]) | (key[1:] != key[:-1]) | (metric[1:] != metric[:-1])
+        )
+    frames = []
+    for tier in tiers:
+        unit = TIER_US[tier]
+        bucket = ts_us - ts_us % unit
+        change = series_change.copy()
+        if n > 1:
+            change[1:] |= bucket[1:] != bucket[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        chunks = codec.encode_many(ts_us, v, starts)
+        frames.append(pd.DataFrame({
+            "tier": tier,
+            "kind": kind[starts],
+            "series_key": key[starts],
+            "metric": metric[starts],
+            "bucket_ts": bucket[starts].astype("datetime64[us]"),
+            "cnt": (ends - starts).astype(np.int64),
+            "sum_v": np.add.reduceat(v, starts),
+            "min_v": np.minimum.reduceat(v, starts),
+            "max_v": np.maximum.reduceat(v, starts),
+            "last_v": v[ends - 1],
+            "chunk": pd.Series(chunks, dtype=object),
+        }))
+    return pd.concat(frames, ignore_index=True)
+
+
+def _make_rollup_fn(tiers):
+    coarsest = TIER_US[tiers[-1]]
+
+    def process(iterator):
+        buf = None
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            buf = pdf if buf is None else pd.concat([buf, pdf], ignore_index=True)
+            kind = buf["kind"].to_numpy()
+            key = buf["series_key"].to_numpy()
+            metric = buf["metric"].to_numpy()
+            ts_us = buf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            day = ts_us - ts_us % coarsest
+            n = len(buf)
+            change = np.zeros(n, dtype=bool)
+            if n > 1:
+                change[1:] = (
+                    (kind[1:] != kind[:-1]) | (key[1:] != key[:-1])
+                    | (metric[1:] != metric[:-1]) | (day[1:] != day[:-1])
+                )
+            cuts = np.flatnonzero(change)
+            if len(cuts):
+                cut = int(cuts[-1])
+                v = buf["v"].to_numpy(dtype=np.float64)
+                yield _rollup_block(kind[:cut], key[:cut], metric[:cut],
+                                    ts_us[:cut], v[:cut], tiers)
+                buf = buf.iloc[cut:].reset_index(drop=True)
+        if buf is not None and len(buf):
+            kind = buf["kind"].to_numpy()
+            key = buf["series_key"].to_numpy()
+            metric = buf["metric"].to_numpy()
+            ts_us = buf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            v = buf["v"].to_numpy(dtype=np.float64)
+            yield _rollup_block(kind, key, metric, ts_us, v, tiers)
+
+    return process
+
+
+def rollup_points(points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+                  num_partitions: int | None = None) -> DataFrame:
+    """points (kind, series_key, metric, ts, conv_id, turn_idx, v) ->
+    one row per (tier, series, bucket) with aggregates + chunk.
+
+    Partitioning by (series, coarsest-tier bucket) guarantees every
+    output group lives wholly in one partition while spreading a hot
+    series across time — the explicit skew-split of SURVEY.md §4.3.
+    """
+    tiers = tuple(sorted(tiers, key=lambda t: TIER_US[t]))
+    part_cols = [F.col(c) for c in _SERIES_COLS] + [
+        F.date_trunc(TIER_TRUNC[tiers[-1]], F.col("ts"))
+    ]
+    shuffled = (
+        points.repartition(*(([num_partitions] if num_partitions else []) + part_cols))
+        .sortWithinPartitions(*_SERIES_COLS, "ts", "conv_id", "turn_idx")
+    )
+    return shuffled.mapInPandas(_make_rollup_fn(tiers), ROLLUP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# aggregate-only rollup (pure JVM, salted two-stage) — for queries that
+# don't need chunks; also the oracle-checkable surface
+# ---------------------------------------------------------------------------
+
+def rollup_aggs(points: DataFrame, tier: str,
+                salt_buckets: int | None = None) -> DataFrame:
+    """Continuous aggregates at one tier via built-in hash aggregation.
+
+    With ``salt_buckets`` set, runs the explicit two-stage skew-safe
+    plan: partial agg per (series, bucket, salt), final combine per
+    (series, bucket). ``last_v`` stays deterministic by carrying the
+    (ts, conv_id, turn_idx) order key through both stages.
+    """
+    bucket = F.date_trunc(TIER_TRUNC[tier], F.col("ts")).alias("bucket_ts")
+    ord_key = F.struct(F.col("ts"), F.col("conv_id"), F.col("turn_idx"))
+    keys = [*_SERIES_COLS]
+    if salt_buckets:
+        partial = (
+            points.withColumn("_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"),
+                                              F.lit(salt_buckets)))
+            .groupBy(*keys, bucket, F.col("_salt"))
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+                F.max_by("v", ord_key).alias("last_v"),
+                F.max(ord_key).alias("_ord"),
+            )
+        )
+        return (
+            partial.groupBy(*keys, "bucket_ts")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+                F.max_by("last_v", F.col("_ord")).alias("last_v"),
+            )
+        )
+    return (
+        points.groupBy(*keys, bucket)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.max_by("v", ord_key).alias("last_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tier cascade (compact analogue + differential check of the one-pass path)
+# ---------------------------------------------------------------------------
+
+def _merge_chunks_udf():
+    # built lazily: pandas_udf needs an active SparkSession to parse
+    # its return type
+    @F.pandas_udf("binary")
+    def merge_udf(chunk_lists: pd.Series) -> pd.Series:
+        def merge(lst):
+            return codec.merge_chunks([bytes(e["chunk"]) for e in lst])
+        return chunk_lists.map(merge)
+
+    return merge_udf
+
+
+def cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
+    """Re-aggregate a finer tier into ``to_tier`` (e.g. 1m -> 1h).
+
+    Aggregates combine associatively; chunks merge in bucket order
+    (sort_array on struct sorts by bucket_ts first), so
+    decode(cascade chunk) == decode(direct-from-raw chunk).
+    """
+    bucket = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts")).alias("bucket_ts")
+    return (
+        rollup_df.groupBy(*_SERIES_COLS, bucket)
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.max_by("last_v", F.col("bucket_ts")).alias("last_v"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("bucket_ts"), F.col("chunk")))
+            ).alias("_chunks"),
+        )
+        .withColumn("chunk", _merge_chunks_udf()(F.col("_chunks")))
+        .withColumn("tier", F.lit(to_tier))
+        .select("tier", *_SERIES_COLS, "bucket_ts", "cnt", "sum_v",
+                "min_v", "max_v", "last_v", "chunk")
+    )

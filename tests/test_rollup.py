@@ -1,0 +1,126 @@
+"""Rollup engine vs naive pandas oracle: golden equality per tier,
+bit-for-bit after chunk decode (the north rule's hard requirement),
+plus the differential invariants of FIXTURES.md §4.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mimir_spark import codec, oracle_ref
+from mimir_spark.ingest import dedup_turns, ingest, turn_metrics
+from mimir_spark.rollup import cascade, rollup_aggs, rollup_points
+
+KEY = ["tier", "kind", "series_key", "metric", "bucket_ts"]
+AGGS = ["cnt", "sum_v", "min_v", "max_v", "last_v"]
+
+
+@pytest.fixture(scope="module")
+def spark_rollup(spark, t_small_df):
+    points = turn_metrics(ingest(t_small_df))
+    return rollup_points(points).toPandas()
+
+
+@pytest.fixture(scope="module")
+def oracle_rollup(t_small):
+    return oracle_ref.rollup_transcripts(t_small)
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    out["bucket_ts"] = out["bucket_ts"].astype("datetime64[us]")
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_tier_matches_oracle(spark_rollup, oracle_rollup, tier):
+    got = _norm(spark_rollup[spark_rollup.tier == tier])
+    want = _norm(oracle_rollup[oracle_rollup.tier == tier])
+    assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
+    pd.testing.assert_frame_equal(got[KEY + AGGS], want[KEY + AGGS],
+                                  check_dtype=False)
+    # bit-for-bit after Gorilla decode
+    for (g, w) in zip(got["chunk"], want["chunk"]):
+        gt, gv = codec.decode_chunk(bytes(g))
+        wt, wv = codec.decode_chunk(bytes(w))
+        assert np.array_equal(gt, wt)
+        assert np.array_equal(gv.view(np.uint64), wv.view(np.uint64))
+
+
+def test_chunk_points_match_aggs(spark_rollup):
+    """Chunk contents must agree with the aggregate columns."""
+    sample = spark_rollup.sample(n=min(300, len(spark_rollup)), random_state=1)
+    for r in sample.itertuples(index=False):
+        ts, v = codec.decode_chunk(bytes(r.chunk))
+        assert len(ts) == r.cnt
+        assert np.isclose(v.sum(), r.sum_v)
+        assert v.min() == r.min_v and v.max() == r.max_v
+        assert v[-1] == r.last_v
+
+
+def test_cascade_equals_direct(spark, t_small_df):
+    """rollup_1h(from 1m) == rollup_1h(from raw) — aggregates AND
+    decoded chunks (the batch/compact invariant)."""
+    points = turn_metrics(ingest(t_small_df))
+    all_tiers = rollup_points(points).cache()
+    direct_1h = all_tiers.filter("tier = '1h'").toPandas()
+    casc_1h = cascade(all_tiers.filter("tier = '1m'"), "1h").toPandas()
+    got, want = _norm(casc_1h), _norm(direct_1h)
+    pd.testing.assert_frame_equal(got[KEY + AGGS], want[KEY + AGGS],
+                                  check_dtype=False)
+    for (g, w) in zip(got["chunk"], want["chunk"]):
+        assert bytes(g) == bytes(w)  # byte-identical, not just decode-equal
+    all_tiers.unpersist()
+
+
+def test_salted_equals_unsalted(spark, t_small_df):
+    points = turn_metrics(ingest(t_small_df))
+    a = rollup_aggs(points, "1h").toPandas()
+    b = rollup_aggs(points, "1h", salt_buckets=16).toPandas()
+    cols = ["kind", "series_key", "metric", "bucket_ts"]
+    a = a.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_aggs_match_onepass(spark, t_small_df, spark_rollup):
+    """Pure-JVM agg path == one-pass mapInPandas path."""
+    points = turn_metrics(ingest(t_small_df))
+    jvm = rollup_aggs(points, "1m").toPandas()
+    jvm.insert(0, "tier", "1m")
+    got = _norm(jvm)
+    want = _norm(spark_rollup[spark_rollup.tier == "1m"])[KEY + AGGS]
+    pd.testing.assert_frame_equal(got[KEY + AGGS], want, check_dtype=False)
+
+
+def test_shuffle_invariance(spark, t_small, t_small_df):
+    """Output invariant under input row shuffling + partition count."""
+    from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
+
+    shuffled = t_small.sample(frac=1.0, random_state=9).reset_index(drop=True)
+    df2 = spark.createDataFrame(shuffled, schema=TRANSCRIPT_SCHEMA).repartition(3)
+    a = rollup_points(turn_metrics(ingest(t_small_df))).toPandas()
+    b = rollup_points(turn_metrics(ingest(df2)), num_partitions=5).toPandas()
+    a, b = _norm(a), _norm(b)
+    pd.testing.assert_frame_equal(a[KEY + AGGS], b[KEY + AGGS], check_dtype=False)
+    for (x, y) in zip(a["chunk"], b["chunk"]):
+        assert bytes(x) == bytes(y)
+
+
+def test_per_turn_text_equality(spark, t_small, t_small_df):
+    """Ingested turns joined back to source on (conv_id, turn_idx)
+    yield identical text for every row (input_hint invariant)."""
+    ingested = ingest(t_small_df).toPandas()
+    src = oracle_ref.dedup_turns(t_small)
+    merged = ingested.merge(src[["conv_id", "turn_idx", "text"]],
+                            on=["conv_id", "turn_idx"], suffixes=("", "_src"))
+    assert len(merged) == len(src) == len(ingested)
+    assert (merged["text"] == merged["text_src"]).all()
+
+
+def test_dedup_deterministic(spark, t_small_df):
+    got = dedup_turns(t_small_df).groupBy("conv_id", "turn_idx").count().toPandas()
+    assert (got["count"] == 1).all()
