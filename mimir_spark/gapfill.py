@@ -1,0 +1,83 @@
+"""Gap-fill over event-time windows: LOCF + linear interpolation.
+
+New capability relative to the reference (Mimir's token positions are
+dense, so it never needs gap-fill — SURVEY.md §2.8); required by the
+north rule. Implemented entirely with JVM-side expressions:
+
+1. per-series bucket grid via ``sequence(min, max, interval)`` +
+   ``explode`` (no Python, no driver loop);
+2. LOCF via ``last(value, ignorenulls=True)`` over an unbounded
+   preceding window;
+3. linear interpolation via the previous/next known points fetched with
+   ignore-nulls window functions, all arithmetic in Catalyst.
+
+The grid explode and the window both partition by series, so a 100 TB
+run shuffles each series' buckets exactly once and never materializes
+the grid driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .rollup import TIER_US
+
+_SERIES = ["kind", "series_key", "metric"]
+
+
+def _grid(df: DataFrame, tier: str) -> DataFrame:
+    """One row per (series, bucket) for every tier bucket between each
+    series' min and max observed bucket."""
+    step = F.expr(f"INTERVAL {TIER_US[tier] // 1_000_000} SECONDS")
+    return (
+        df.groupBy(*_SERIES)
+        .agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
+        .select(
+            *_SERIES,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket_ts"),
+        )
+    )
+
+
+def gapfill(rollup_df: DataFrame, tier: str, value_col: str = "sum_v",
+            method: str = "locf") -> DataFrame:
+    """Fill missing tier buckets per series.
+
+    Returns (series, bucket_ts, <value_col>, filled) where ``filled``
+    marks synthesized buckets. LOCF leaves leading gaps null; linear
+    leaves leading/trailing gaps null (bounded by real neighbors).
+    """
+    if method not in ("locf", "linear"):
+        raise ValueError(f"unknown gapfill method {method!r}")
+    grid = _grid(rollup_df, tier)
+    joined = grid.join(
+        rollup_df.select(*_SERIES, "bucket_ts", F.col(value_col).alias("_obs")),
+        on=[*_SERIES, "bucket_ts"],
+        how="left",
+    )
+    w = Window.partitionBy(*_SERIES).orderBy("bucket_ts")
+    if method == "locf":
+        filled_val = F.last("_obs", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        t = F.col("bucket_ts").cast("double")
+        prev_w = w.rowsBetween(Window.unboundedPreceding, 0)
+        next_w = w.rowsBetween(0, Window.unboundedFollowing)
+        prev_v = F.last("_obs", ignorenulls=True).over(prev_w)
+        next_v = F.first("_obs", ignorenulls=True).over(next_w)
+        prev_t = F.last(F.when(F.col("_obs").isNotNull(), t), ignorenulls=True).over(prev_w)
+        next_t = F.first(F.when(F.col("_obs").isNotNull(), t), ignorenulls=True).over(next_w)
+        filled_val = F.when(F.col("_obs").isNotNull(), F.col("_obs")).otherwise(
+            F.when(
+                prev_v.isNotNull() & next_v.isNotNull(),
+                prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
+            )
+        )
+    return joined.select(
+        *_SERIES,
+        "bucket_ts",
+        filled_val.alias(value_col),
+        F.col("_obs").isNull().alias("filled"),
+    )

@@ -83,3 +83,42 @@ def rollup_transcripts(pdf: pd.DataFrame, tiers=("1m", "1h", "1d")) -> pd.DataFr
     """Full naive pipeline: dedup -> metrics -> per-tier rollups."""
     points = turn_metrics(dedup_turns(pdf))
     return pd.concat([rollup(points, t) for t in tiers], ignore_index=True)
+
+
+def gapfill(rollup_pdf: pd.DataFrame, tier: str, value_col: str = "sum_v",
+            method: str = "locf") -> pd.DataFrame:
+    """Naive loop gap-fill oracle matching gapfill.gapfill semantics."""
+    unit = TIER_US[tier]
+    out = []
+    for (kind, key, metric), g in rollup_pdf.groupby(
+        ["kind", "series_key", "metric"], sort=True
+    ):
+        g = g.sort_values("bucket_ts")
+        b_us = g["bucket_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        obs = dict(zip(b_us, g[value_col].astype(float)))
+        grid = np.arange(b_us.min(), b_us.max() + unit, unit)
+        known_ts = np.array(sorted(obs))
+        for t in grid:
+            if t in obs:
+                out.append((kind, key, metric, t, obs[t], False))
+                continue
+            prev = known_ts[known_ts < t]
+            nxt = known_ts[known_ts > t]
+            if method == "locf":
+                val = obs[prev[-1]] if len(prev) else None
+            else:
+                if len(prev) and len(nxt):
+                    p, nx = prev[-1], nxt[0]
+                    # timestamps enter the formula in SECONDS (Spark
+                    # casts timestamp -> double as epoch seconds), so
+                    # the float rounding matches bit-for-bit
+                    ps, ns, ts_ = p / 1e6, nx / 1e6, t / 1e6
+                    val = obs[p] + (obs[nx] - obs[p]) * (ts_ - ps) / (ns - ps)
+                else:
+                    val = None
+            out.append((kind, key, metric, t, val, True))
+    pdf = pd.DataFrame(
+        out, columns=["kind", "series_key", "metric", "bucket_ts", value_col, "filled"]
+    )
+    pdf["bucket_ts"] = pdf["bucket_ts"].astype("datetime64[us]")
+    return pdf

@@ -1,0 +1,67 @@
+"""Gap-fill vs naive oracle + metamorphic invariants (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mimir_spark import oracle_ref
+from mimir_spark.gapfill import gapfill
+from mimir_spark.ingest import ingest, turn_metrics
+from mimir_spark.rollup import rollup_points
+
+KEY = ["kind", "series_key", "metric", "bucket_ts"]
+
+
+@pytest.fixture(scope="module")
+def rollup_1h(spark, t_small_df):
+    df = rollup_points(turn_metrics(ingest(t_small_df)), tiers=("1h",)).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def rollup_1h_pdf(rollup_1h):
+    return rollup_1h.toPandas()
+
+
+def _norm(pdf):
+    out = pdf.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    out["bucket_ts"] = out["bucket_ts"].astype("datetime64[us]")
+    return out
+
+
+@pytest.mark.parametrize("method", ["locf", "linear"])
+def test_gapfill_matches_oracle(rollup_1h, rollup_1h_pdf, method):
+    got = _norm(gapfill(rollup_1h, "1h", "sum_v", method).toPandas())
+    want = _norm(oracle_ref.gapfill(rollup_1h_pdf, "1h", "sum_v", method))
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_locf_superset_of_raw(rollup_1h, rollup_1h_pdf):
+    """Gap-fill output contains every raw bucket with its exact value."""
+    got = gapfill(rollup_1h, "1h", "sum_v", "locf").toPandas()
+    raw = got[~got["filled"]]
+    merged = rollup_1h_pdf.merge(raw, on=KEY, suffixes=("_r", "_g"))
+    assert len(merged) == len(rollup_1h_pdf)
+    assert (merged["sum_v_r"] == merged["sum_v_g"]).all()
+
+
+def test_linear_bounded_by_neighbors(rollup_1h):
+    got = gapfill(rollup_1h, "1h", "sum_v", "linear").toPandas()
+    filled = got[got["filled"] & got["sum_v"].notna()]
+    by_series = got.groupby(["kind", "series_key", "metric"])["sum_v"]
+    lo, hi = by_series.transform("min"), by_series.transform("max")
+    ok = (filled["sum_v"] >= lo[filled.index] - 1e-9) & (
+        filled["sum_v"] <= hi[filled.index] + 1e-9
+    )
+    assert ok.all()
+
+
+def test_grid_is_dense(rollup_1h):
+    got = gapfill(rollup_1h, "1h", "sum_v", "locf").toPandas()
+    for _, g in got.groupby(["kind", "series_key", "metric"]):
+        b = np.sort(g["bucket_ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        assert (np.diff(b) == 3_600_000_000).all()
