@@ -1,0 +1,78 @@
+"""Resume-from-checkpoint == single-shot run (FIXTURES.md invariant 4),
+lineage metrics, and retention expiry."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
+from mimir_spark.lineage import TieredStore, run_rollup_job
+
+KEY = ["kind", "series_key", "metric", "bucket_ts"]
+
+
+@pytest.fixture()
+def source(spark, t_small):
+    def make():
+        return spark.createDataFrame(t_small, schema=TRANSCRIPT_SCHEMA)
+
+    return make
+
+
+def _read_all(spark, store, tier):
+    pdf = store.read_tier(spark, tier).toPandas()
+    return pdf.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+
+
+def test_resume_equals_single_shot(spark, source, tmp_path):
+    s1 = TieredStore(tmp_path / "single")
+    run_rollup_job(spark, source, s1, "job1", num_partitions=4)
+
+    s2 = TieredStore(tmp_path / "resumed")
+    partial = run_rollup_job(spark, source, s2, "job1", num_partitions=4,
+                             max_partitions=2)  # simulated crash after 2
+    assert len(partial) == 2
+    resumed = run_rollup_job(spark, source, s2, "job1", num_partitions=4)
+    assert len(resumed) == 2  # only the remaining partitions ran
+
+    for tier in ("1m", "1h", "1d"):
+        a = _read_all(spark, s1, tier)
+        b = _read_all(spark, s2, tier)
+        pd.testing.assert_frame_equal(
+            a.drop(columns=["chunk"]), b.drop(columns=["chunk"]), check_dtype=False
+        )
+        assert all(bytes(x) == bytes(y) for x, y in zip(a["chunk"], b["chunk"]))
+
+
+def test_lineage_metrics(spark, source, t_small, tmp_path):
+    store = TieredStore(tmp_path / "store")
+    rows = run_rollup_job(spark, source, store, "job2", num_partitions=4)
+    lineage = store.read_lineage(spark, "job2").toPandas()
+    assert len(lineage) == 4
+    n_unique = len(t_small.drop_duplicates(["conv_id", "turn_idx"]))
+    assert lineage["rows_in"].sum() == n_unique
+    assert (lineage["bytes_compressed"] > 0).all()
+    assert lineage["points_out"].sum() == sum(r["points_out"] for r in rows)
+
+
+def test_rerun_is_noop(spark, source, tmp_path):
+    store = TieredStore(tmp_path / "store")
+    run_rollup_job(spark, source, store, "job3", num_partitions=3)
+    again = run_rollup_job(spark, source, store, "job3", num_partitions=3)
+    assert again == []
+
+
+def test_retention_expiry(spark, source, tmp_path):
+    store = TieredStore(tmp_path / "store")
+    run_rollup_job(spark, source, store, "job4", num_partitions=2, tiers=("1d",))
+    before = store.read_tier(spark, "1d").toPandas()
+    dates = np.sort(before["bucket_date"].astype(str).unique())
+    assert len(dates) > 1
+    cutoff = str(dates[1])
+    dropped = store.expire("1d", cutoff)
+    assert dropped
+    after = store.read_tier(spark, "1d").toPandas()
+    assert set(after["bucket_date"].astype(str)) == set(dates[dates >= cutoff])
+    assert len(after) == (before["bucket_date"].astype(str) >= cutoff).sum()
