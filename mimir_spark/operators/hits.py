@@ -1,0 +1,232 @@
+"""Positional query algebra over ordered turn streams.
+
+Spark-first re-expression of the reference's compound executors — all
+of which are document-aligned merge joins plus an interval algorithm
+within each document (AbstractIntersectionQueryExecutor.java:78-112).
+Here the "document alignment" is an equi-join on conv_id (Catalyst
+picks broadcast/SMJ; skew handled by AQE) and the interval algebra is
+range predicates — exactly the plan shape the reference hand-codes.
+
+A *hit* DataFrame has columns (conv_id string, pos int, len int):
+the Binding of the reference (search/query/Binding.java:28-86), with
+pos = turn index and len = number of turns covered.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HIT_SCHEMA = "conv_id string, pos int, len int"
+_HIT_COLS = ["conv_id", "pos", "len"]
+
+
+def _as_hits(df: DataFrame) -> DataFrame:
+    return df.select(*_HIT_COLS)
+
+
+# ---------------------------------------------------------------------------
+# leaf queries (TermQuery.java:147-185, AnnotationQuery.java:80-100)
+# ---------------------------------------------------------------------------
+
+def term_query(turns: DataFrame, column: str, value, downcase: bool = False) -> DataFrame:
+    """All positions where ``column`` equals ``value`` — the TermQuery.
+
+    The parquet/Iceberg predicate pushdown plays the role of the
+    reference's skip-based posting iteration (TermQuery.skipTo)."""
+    col = F.lower(F.col(column)) if downcase else F.col(column)
+    val = value.lower() if downcase and isinstance(value, str) else value
+    return turns.filter(col == F.lit(val)).select(
+        "conv_id", F.col("turn_idx").alias("pos"), F.lit(1).alias("len")
+    )
+
+
+_CONSTRAINT_OPS = {
+    "EQ": lambda c, v: c == v,
+    "GT": lambda c, v: c > v,
+    "GE": lambda c, v: c >= v,
+    "LT": lambda c, v: c < v,
+    "LE": lambda c, v: c <= v,
+    "REGEX": lambda c, v: c.rlike(v),
+}
+
+
+def annotation_query(turns: DataFrame,
+                     constraints: list[tuple[str, str, object]]) -> DataFrame:
+    """{Type f1=v1 f2>v2 ...}: conjunction of typed constraints
+    (ConstraintType.java:20-56 — EQ/GT/GE/LT/LE/REGEX) -> hits."""
+    pred = F.lit(True)
+    for col, op, val in constraints:
+        try:
+            fn = _CONSTRAINT_OPS[op]
+        except KeyError:
+            raise ValueError(f"unknown constraint op {op!r}") from None
+        pred = pred & fn(F.col(col), val)  # raw value: rlike needs a str pattern
+    return turns.filter(pred).select(
+        "conv_id", F.col("turn_idx").alias("pos"), F.lit(1).alias("len")
+    )
+
+
+def const_restrict(hits: DataFrame, conv_ids: DataFrame) -> DataFrame:
+    """ConstQuery: restrict hits to a fixed conversation set via a
+    broadcast semi-join (ConstQuery.java:32-70)."""
+    return hits.join(F.broadcast(conv_ids.select("conv_id").distinct()),
+                     "conv_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# compound operators (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+def sequence_query(left: DataFrame, right: DataFrame,
+                   min_gap: int = 0, max_gap: int = 0) -> DataFrame:
+    """Phrase/sequence: a right hit starting between min_gap and
+    max_gap positions after the left hit ends (SequenceQuery.java +
+    Gap semantics). Equi-join on conv_id + range predicate — the
+    zig-zag doc alignment for free from the join, the position
+    constraint as a theta filter."""
+    l, r = left.alias("l"), right.alias("r")
+    lo = F.col("l.pos") + F.col("l.len") + F.lit(min_gap)
+    hi = F.col("l.pos") + F.col("l.len") + F.lit(max_gap)
+    return (
+        l.join(r, on=(F.col("l.conv_id") == F.col("r.conv_id"))
+               & (F.col("r.pos") >= lo) & (F.col("r.pos") <= hi))
+        .select(
+            F.col("l.conv_id").alias("conv_id"),
+            F.col("l.pos").alias("pos"),
+            (F.col("r.pos") + F.col("r.len") - F.col("l.pos")).alias("len"),
+        )
+        .distinct()
+    )
+
+
+def sequence(hit_dfs: list[DataFrame], gaps: list[tuple[int, int]] | None = None) -> DataFrame:
+    """N-ary sequence with per-junction (min,max) gaps."""
+    gaps = gaps or [(0, 0)] * (len(hit_dfs) - 1)
+    acc = hit_dfs[0]
+    for nxt, (lo, hi) in zip(hit_dfs[1:], gaps):
+        acc = sequence_query(acc, nxt, lo, hi)
+    return acc
+
+
+def or_query(*hit_dfs: DataFrame) -> DataFrame:
+    """Union of child hits (OrQuery.java k-way merge)."""
+    out = _as_hits(hit_dfs[0])
+    for h in hit_dfs[1:]:
+        out = out.unionByName(_as_hits(h))
+    return out.distinct()
+
+
+def contains_query(outer: DataFrame, inner: DataFrame) -> DataFrame:
+    """OVER: outer hits containing >=1 inner hit
+    (AbstractOverlapQuery.java:132-183, target=OUTER) — an interval
+    semi-join."""
+    o, i = outer.alias("o"), inner.alias("i")
+    cond = (
+        (F.col("o.conv_id") == F.col("i.conv_id"))
+        & (F.col("i.pos") >= F.col("o.pos"))
+        & (F.col("i.pos") + F.col("i.len") <= F.col("o.pos") + F.col("o.len"))
+    )
+    return o.join(i, cond, "left_semi").select(*_HIT_COLS)
+
+
+def within_query(inner: DataFrame, outer: DataFrame) -> DataFrame:
+    """IN: inner hits contained in some outer hit (target=INNER)."""
+    i, o = inner.alias("i"), outer.alias("o")
+    cond = (
+        (F.col("i.conv_id") == F.col("o.conv_id"))
+        & (F.col("i.pos") >= F.col("o.pos"))
+        & (F.col("i.pos") + F.col("i.len") <= F.col("o.pos") + F.col("o.len"))
+    )
+    return i.join(o, cond, "left_semi").select(*_HIT_COLS)
+
+
+def minus_query(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Hits of left not exactly equal to any right hit
+    (MinusQuery.java:56-98) — a left-anti join on (conv_id, pos, len)."""
+    return _as_hits(left).join(_as_hits(right), _HIT_COLS, "left_anti")
+
+
+def repeats_query(hits: DataFrame, m: int, n: int) -> DataFrame:
+    """Bounded Kleene +m..n: k consecutive hits, each starting exactly
+    where the previous ends (RepeatsQuery.java:105-178). Expressed as
+    OR(seq x m .. seq x n) with zero-width junctions — the identity the
+    reference itself tests (TestQueries.java:182-199)."""
+    if not 1 <= m <= n:
+        raise ValueError("need 1 <= m <= n")
+    runs, acc = [], hits
+    for k in range(1, n + 1):
+        if k > 1:
+            nxt = hits.alias("r")
+            a = acc.alias("l")
+            acc = (
+                a.join(nxt, on=(F.col("l.conv_id") == F.col("r.conv_id"))
+                       & (F.col("r.pos") == F.col("l.pos") + F.col("l.len")))
+                .select(
+                    F.col("l.conv_id").alias("conv_id"),
+                    F.col("l.pos").alias("pos"),
+                    (F.col("l.len") + F.col("r.len")).alias("len"),
+                )
+            )
+        if k >= m:
+            runs.append(acc)
+    return or_query(*runs)
+
+
+def gap_query(hits: DataFrame, k: int) -> DataFrame:
+    """Pad each hit's length by k (GapQuery.java:104-108)."""
+    return hits.withColumn("len", F.col("len") + F.lit(k))
+
+
+def and_query(*hit_dfs: DataFrame) -> DataFrame:
+    """Minimal covering windows containing >=1 hit of every child —
+    minimal-interval semantics (AndQuery.java:85-256, the
+    priority-queue algorithm). Children are tagged, unioned, shuffled
+    once by conv_id, and the queue algorithm runs per conversation in
+    a co-grouped pandas pass (hits per conversation are small)."""
+    tagged = []
+    for idx, h in enumerate(hit_dfs):
+        tagged.append(_as_hits(h).withColumn("child", F.lit(idx)))
+    allhits = tagged[0]
+    for t in tagged[1:]:
+        allhits = allhits.unionByName(t)
+    nchildren = len(hit_dfs)
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for conv, g in pdf.groupby("conv_id", sort=False):
+            lists = []
+            complete = True
+            for c in range(nchildren):
+                sub = g[g["child"] == c]
+                if sub.empty:
+                    complete = False
+                    break
+                arr = sorted(zip(sub["pos"], sub["pos"] + sub["len"]))
+                lists.append(arr)
+            if not complete:
+                continue
+            ptr = [0] * nchildren
+            while True:
+                cur = [lists[c][ptr[c]] for c in range(nchildren)]
+                s = min(h[0] for h in cur)
+                e = max(h[1] for h in cur)
+                cstar = min(range(nchildren),
+                            key=lambda c: (cur[c][0], cur[c][1], c))
+                ptr[cstar] += 1
+                if ptr[cstar] >= len(lists[cstar]):
+                    out.append((conv, s, e - s))
+                    break
+                nxt = [lists[c][ptr[c]] for c in range(nchildren)]
+                s2 = min(h[0] for h in nxt)
+                e2 = max(h[1] for h in nxt)
+                if not (s2 >= s and e2 <= e):
+                    out.append((conv, s, e - s))
+        return pd.DataFrame(out, columns=_HIT_COLS)
+
+    return (
+        allhits.groupBy("conv_id")
+        .applyInPandas(per_conv, HIT_SCHEMA)
+        .distinct()
+    )

@@ -1,0 +1,104 @@
+"""Terms-query algebra: the reference's direct-index count surface
+(search/terms/*.java) as DataFrame aggregations.
+
+A terms result is a DataFrame (term string, count long [, n_docs]) —
+the columnar TermsResultSet (TermsResultSet.java:41-100). The direct
+index itself (term<->doc transpose, AtomicIndex.java:1089-1271) is not
+materialized: Spark's hash aggregation over the token stream IS the
+transpose, with partial+final aggregation replacing the per-batch
+counter visitors (AbstractIndexTermsQuery.java:225-300).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ~30 of the usual suspects; the reference ships ~300
+# (AbstractIndexTermsQuery.java:77-156) — callers can pass their own.
+DEFAULT_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with",
+]
+
+WS_RE = "[ \\t\\n\\r]+"
+
+
+def tokenize(docs: DataFrame, id_col: str = "conv_id", text_col: str = "text",
+             downcase: bool = True) -> DataFrame:
+    """(doc, text) -> one row per token position: (id, pos, term).
+
+    The DowncaseTermProcessor analogue (MimirTestUtils.java:69-73)."""
+    text = F.lower(F.col(text_col)) if downcase else F.col(text_col)
+    toks = F.split(F.trim(text), WS_RE)
+    return (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(F.trim(F.col(text_col))) > 0))
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term"))
+        .filter(F.length("term") > 0)  # IgnoreEmptiesTermProcessor analogue
+    )
+
+
+def document_terms(tokens: DataFrame, doc_id) -> DataFrame:
+    """Terms (with counts) in one document (DocumentTermsQuery.java:27-78)."""
+    return (
+        tokens.filter(F.col("doc_id") == F.lit(doc_id))
+        .groupBy("term").agg(F.count("*").alias("count"))
+    )
+
+
+def documents_or_terms(tokens: DataFrame, doc_ids: list) -> DataFrame:
+    """Union of term sets over a doc set, counts summed
+    (DocumentsOrTermsQuery.java:76-85)."""
+    return (
+        tokens.filter(F.col("doc_id").isin(doc_ids))
+        .groupBy("term").agg(F.count("*").alias("count"))
+    )
+
+
+def documents_and_terms(tokens: DataFrame, doc_ids: list) -> DataFrame:
+    """Terms present in EVERY doc of the set
+    (DocumentsAndTermsQuery.java:74-83)."""
+    n = len(set(doc_ids))
+    return (
+        tokens.filter(F.col("doc_id").isin(doc_ids))
+        .groupBy("term")
+        .agg(F.count("*").alias("count"),
+             F.countDistinct("doc_id").alias("_n_docs"))
+        .filter(F.col("_n_docs") == n)
+        .drop("_n_docs")
+    )
+
+
+def term_type_terms(tokens: DataFrame,
+                    stopwords: list[str] | None = None) -> DataFrame:
+    """Full-dictionary facet with stop-word filter
+    (TermTypeTermsQuery.java:164-222)."""
+    sw = DEFAULT_STOPWORDS if stopwords is None else stopwords
+    return (
+        tokens.filter(~F.col("term").isin(sw))
+        .groupBy("term").agg(F.count("*").alias("count"))
+    )
+
+
+def sorted_terms(terms: DataFrame, by: str = "count_desc") -> DataFrame:
+    """SortedTermsQuery default order: count desc, term asc
+    (SortedTermsQuery.java:33-64)."""
+    if by == "count_desc":
+        return terms.orderBy(F.desc("count"), F.asc("term"))
+    if by == "term_asc":
+        return terms.orderBy(F.asc("term"))
+    raise ValueError(f"unknown sort {by!r}")
+
+
+def limit_terms(terms: DataFrame, k: int) -> DataFrame:
+    """LimitTermsQuery: after sort this is top-k — Catalyst compiles
+    orderBy().limit() to TakeOrderedAndProject (no global sort)."""
+    return terms.limit(k)
+
+
+def top_k_terms(tokens: DataFrame, k: int,
+                stopwords: list[str] | None = None) -> DataFrame:
+    """The composed facet: TermType -> Sorted -> Limit."""
+    return limit_terms(sorted_terms(term_type_terms(tokens, stopwords)), k)

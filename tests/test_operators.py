@@ -1,0 +1,235 @@
+"""Operator algebra tests — the reference's differential/metamorphic
+discipline (TestQueries.java:153-252) re-applied:
+
+- sequence(a,a,a) == repeats(a,3,3)            (TestQueries.java:209-226)
+- gap-as-Gap == gap-as-length                   (TestQueries.java:238-252)
+- no-gap results subset of gap results          (TestQueries.java:153-172)
+- brute-force pandas oracles for contains/within/minus/and
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mimir_spark.ingest import ingest
+from mimir_spark.operators import (
+    and_query,
+    annotation_query,
+    const_restrict,
+    contains_query,
+    gap_query,
+    minus_query,
+    or_query,
+    repeats_query,
+    sequence_query,
+    term_query,
+    within_query,
+)
+from mimir_spark.operators.hits import sequence
+from mimir_spark.operators.terms import (
+    document_terms,
+    documents_and_terms,
+    documents_or_terms,
+    tokenize,
+    top_k_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def turns(spark, t_small_df):
+    df = ingest(t_small_df).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def turns_pdf(turns):
+    return turns.toPandas()
+
+
+def hits_set(df):
+    return set(map(tuple, df.select("conv_id", "pos", "len").collect()))
+
+
+# ---------------------------------------------------------------------------
+# metamorphic identities from the reference test suite
+# ---------------------------------------------------------------------------
+
+def test_seq3_equals_repeats33(turns):
+    a = term_query(turns, "role", "assistant")
+    s = sequence([a, a, a])
+    r = repeats_query(a, 3, 3)
+    assert hits_set(s) == hits_set(r)
+    assert len(hits_set(s)) > 0
+
+
+def test_gap_as_gap_equals_gap_as_length(turns):
+    a = term_query(turns, "role", "user")
+    b = term_query(turns, "role", "tool")
+    g = 2
+    via_gap = sequence_query(a, b, g, g)
+    via_len = sequence_query(gap_query(a, g), b, 0, 0)
+    assert hits_set(via_gap) == hits_set(via_len)
+    assert len(hits_set(via_gap)) > 0
+
+
+def test_nogap_subset_of_gap(turns):
+    a = term_query(turns, "role", "user")
+    b = term_query(turns, "role", "assistant")
+    tight = hits_set(sequence_query(a, b, 0, 0))
+    loose = hits_set(sequence_query(a, b, 0, 3))
+    assert tight and tight < loose
+
+
+def test_repeats_1_3_equals_or_of_seqs(turns):
+    a = term_query(turns, "role", "user")
+    r = repeats_query(a, 1, 3)
+    o = or_query(a, sequence([a, a]), sequence([a, a, a]))
+    assert hits_set(r) == hits_set(o)
+
+
+def test_const_restrict_shrinks(spark, turns):
+    a = term_query(turns, "role", "user")
+    ids = spark.createDataFrame(
+        [("conv-00000003",), ("conv-00000007",)], "conv_id string")
+    restricted = hits_set(const_restrict(a, ids))
+    full = hits_set(a)
+    assert restricted < full
+    assert {h[0] for h in restricted} <= {"conv-00000003", "conv-00000007"}
+
+
+def test_annotation_constraints_shrink(turns):
+    loose = hits_set(annotation_query(turns, [("role", "EQ", "tool")]))
+    tight = hits_set(annotation_query(
+        turns, [("role", "EQ", "tool"), ("tool", "REGEX", "^(bash|read)$")]))
+    assert tight < loose and tight
+
+
+# ---------------------------------------------------------------------------
+# brute-force oracles
+# ---------------------------------------------------------------------------
+
+def _pdf_hits(turns_pdf, col, value):
+    sub = turns_pdf[turns_pdf[col] == value]
+    return set(zip(sub["conv_id"], sub["turn_idx"], [1] * len(sub)))
+
+
+def test_sequence_vs_bruteforce(turns, turns_pdf):
+    got = hits_set(sequence_query(
+        term_query(turns, "role", "user"), term_query(turns, "role", "assistant"),
+        0, 1))
+    ua = _pdf_hits(turns_pdf, "role", "user")
+    aa = _pdf_hits(turns_pdf, "role", "assistant")
+    want = set()
+    for (c, p, l) in ua:
+        for g in (0, 1):
+            if (c, p + l + g, 1) in aa:
+                want.add((c, p, p + l + g + 1 - p))
+    assert got == want
+
+
+def test_contains_within_minus_vs_bruteforce(turns, turns_pdf):
+    # outer: user->...->tool windows; inner: assistant turns
+    outer = sequence_query(term_query(turns, "role", "user"),
+                           term_query(turns, "role", "tool"), 0, 3)
+    inner = term_query(turns, "role", "assistant")
+    o_set, i_set = hits_set(outer), hits_set(inner)
+
+    want_contains = {o for o in o_set if any(
+        i[0] == o[0] and i[1] >= o[1] and i[1] + i[2] <= o[1] + o[2] for i in i_set)}
+    assert hits_set(contains_query(outer, inner)) == want_contains
+
+    want_within = {i for i in i_set if any(
+        o[0] == i[0] and i[1] >= o[1] and i[1] + i[2] <= o[1] + o[2] for o in o_set)}
+    assert hits_set(within_query(inner, outer)) == want_within
+
+    # minus: user turns that are not the start of a user->assistant pair
+    a = term_query(turns, "role", "user")
+    b = term_query(turns, "role", "user")  # identical -> empty
+    assert hits_set(minus_query(a, b)) == set()
+    sub = contains_query(outer, inner)
+    assert hits_set(minus_query(outer, sub)) == o_set - want_contains
+
+
+def _brute_minimal_windows(child_sets):
+    """O(everything) minimal-interval oracle."""
+    convs = set.intersection(*[{h[0] for h in s} for s in child_sets])
+    out = set()
+    for conv in convs:
+        per_child = [[(p, p + l) for (c, p, l) in s if c == conv] for s in child_sets]
+        starts = sorted({iv[0] for ch in per_child for iv in ch})
+        ends = sorted({iv[1] for ch in per_child for iv in ch})
+        cands = []
+        for s in starts:
+            for e in ends:
+                if e <= s:
+                    continue
+                if all(any(s <= a and b <= e for (a, b) in ch) for ch in per_child):
+                    cands.append((s, e))
+                    break  # smallest e for this s
+        minimal = [
+            (s, e) for (s, e) in cands
+            if not any((s2, e2) != (s, e) and s2 >= s and e2 <= e for (s2, e2) in cands)
+        ]
+        out |= {(conv, s, e - s) for (s, e) in minimal}
+    return out
+
+
+def test_and_query_minimal_intervals(turns, turns_pdf):
+    a = term_query(turns, "tool", "bash")
+    b = term_query(turns, "tool", "search")
+    got = hits_set(and_query(a, b))
+    want = _brute_minimal_windows([hits_set(a), hits_set(b)])
+    assert got == want
+    assert got
+
+
+# ---------------------------------------------------------------------------
+# terms queries vs pandas value_counts
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tokens(turns):
+    t = tokenize(turns).cache()
+    t.count()
+    return t
+
+
+def _pdf_tokens(turns_pdf):
+    rows = []
+    for r in turns_pdf.itertuples(index=False):
+        if r.text is None or not r.text.strip():
+            continue
+        for tok in r.text.lower().strip().split():
+            rows.append((r.conv_id, tok))
+    return pd.DataFrame(rows, columns=["doc_id", "term"])
+
+
+def test_document_terms(tokens, turns_pdf):
+    doc = "conv-00000005"
+    got = {(r["term"], r["count"]) for r in document_terms(tokens, doc).collect()}
+    pdf = _pdf_tokens(turns_pdf)
+    want = set(pdf[pdf.doc_id == doc].groupby("term").size().items())
+    assert got == want
+
+
+def test_or_and_terms(tokens, turns_pdf):
+    docs = ["conv-00000005", "conv-00000006"]
+    pdf = _pdf_tokens(turns_pdf)
+    sub = pdf[pdf.doc_id.isin(docs)]
+    want_or = set(sub.groupby("term").size().items())
+    got_or = {(r["term"], r["count"]) for r in documents_or_terms(tokens, docs).collect()}
+    assert got_or == want_or
+    present_in_all = set(sub.groupby("term")["doc_id"].nunique()
+                         .pipe(lambda s: s[s == len(docs)]).index)
+    got_and = {r["term"] for r in documents_and_terms(tokens, docs).collect()}
+    assert got_and == present_in_all
+
+
+def test_top_k_terms_deterministic(tokens):
+    a = [tuple(r) for r in top_k_terms(tokens, 10).collect()]
+    b = [tuple(r) for r in top_k_terms(tokens, 10).collect()]
+    assert a == b and len(a) == 10
+    counts = [c for (_, c) in a]
+    assert counts == sorted(counts, reverse=True)
