@@ -1,0 +1,223 @@
+"""Deduplication suite for web-scale corpora: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Design notes for 100 TB:
+- exact/minhash/simhash are shuffle-on-fingerprint jobs — the
+  fingerprint is tiny compared to the document, so the shuffle moves
+  keys, not text;
+- pair generation always goes through a bucket key (shingle, LSH band,
+  simhash band) so candidate pairs are produced by an equi-join, never
+  a cross join;
+- all hash functions are md5/xxhash-based and string-comparable, so the
+  DuckDB oracle can replay them exactly (no platform-dependent hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .functions.text import normalize_text, tokens_col
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep the min-id document per identical normalized text."""
+    return (
+        docs.withColumn("_fp", F.md5(normalize_text(text_col)))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# word n-gram shingles + Jaccard
+# ---------------------------------------------------------------------------
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = tokens_col(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(shingles_col(text_col, n)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(docs: DataFrame, tau: float, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Near-duplicate pairs with n-gram Jaccard >= tau.
+
+    Candidates come from an equi-join on shared shingles (inverted
+    index), so cost is driven by shingle collisions, not |docs|^2.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = doc_shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(docs: DataFrame, num_hashes: int = 16,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """(doc_id, sig array<string>): sig[i] = min over shingles of
+    md5(shingle || '#' || i). String-min is portable across engines."""
+    sh = doc_shingles(docs, id_col, text_col, n)
+    mins = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >=1 LSH band
+    (band key = md5 of the band's concatenated minhashes)."""
+    rows = num_hashes // bands
+    sig = minhash_signature(docs, num_hashes, id_col, text_col, n)
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("|", *[
+                    F.col("sig")[bi * rows + r] for r in range(rows)
+                ])).alias("bkey"),
+            )
+            for bi in range(bands)
+        ])).alias("b"),
+    ).select("doc_id", "b.band", "b.bkey")
+    x, y = band_rows.alias("x"), band_rows.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bkey") == F.col("y.bkey"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over tokens: per-token xxhash64, bitwise majority
+    vote — all expression-level (explode + groupBy + bit ops)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    # vote per bit: sum(+1/-1) over tokens; bit set where sum > 0
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(63)  # keep sign bit out to stay in positive int64
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(63):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share >=1 of four 16-bit
+    bands (pigeonhole: hamming<=3 over 64 bits guarantees a clean
+    band), verified by popcount of xor <= max_hamming."""
+    sh = simhash64(docs, id_col, text_col)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                 .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bkey"),
+            )
+            for i in range(64 // band_bits)
+        ])).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bkey")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bkey") == F.col("y.bkey"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"),
+                F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_dup_pairs(embeddings: DataFrame, tau: float,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Pairs with cosine similarity >= tau. Brute-force block join —
+    the baseline; at scale use similarity.lsh_ann buckets instead."""
+    normed = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6))
+        .filter(F.col("cosine") >= tau)
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"), "cosine")
+    )

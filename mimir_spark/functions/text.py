@@ -1,0 +1,100 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token stats, document fingerprinting.
+
+All hot-path functions are pure Catalyst expressions (JVM, codegen) so
+they run at scan speed over 100 TB. Every formula is deliberately
+ANSI-SQL-expressible so the DuckDB oracle can verify it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WS_RE = "[ \\t\\n\\r]+"
+
+# tiny per-language marker lexicons (n-gram-free heuristic langid):
+# the language whose markers hit most tokens wins; ties break by the
+# fixed priority order below.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "que", "une", "dans", "pour", "pas"],
+    "es": ["el", "los", "las", "es", "que", "una", "por", "con", "para", "del"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es"]
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), WS_RE)
+
+
+def token_count(text_col: str = "text") -> Column:
+    t = F.trim(F.col(text_col))
+    return F.when(F.col(text_col).isNull() | (F.length(t) == 0), F.lit(0)) \
+        .otherwise(F.size(F.split(t, WS_RE)))
+
+
+def lang_score(lang: str, text_col: str = "text") -> Column:
+    """Number of tokens that are markers of ``lang``."""
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(tokens_col(text_col), lambda t: t.isin(*markers)))
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """argmax over language marker scores; deterministic tie-break by
+    LANG_PRIORITY order; 'und' (undetermined) when no marker hits."""
+    expr = F.lit("und")
+    best = F.lit(0)
+    # build right-to-left so earlier-priority languages win ties
+    for lang in reversed(LANG_PRIORITY):
+        s = lang_score(lang, text_col)
+        expr = F.when(s >= F.greatest(best, F.lit(1)), F.lit(lang)).otherwise(expr)
+        best = F.greatest(best, s)
+    return expr
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    n = token_count(text_col)
+    hits = lang_score("en", text_col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def alpha_ratio(text_col: str = "text") -> Column:
+    """Fraction of characters that are ascii letters or space."""
+    t = F.lower(F.col(text_col))
+    kept = F.length(F.regexp_replace(t, "[^a-z ]", ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)) \
+        .otherwise(kept.cast("double") / F.length(t))
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Composite in [0,1]: length, stopword density, alpha purity.
+
+    round(0.4*min(len/500,1) + 0.4*min(stop_ratio*3.33,1) + 0.2*alpha, 6)
+    """
+    length_term = F.least(F.length(F.col(text_col)).cast("double") / 500.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text_col) * 3.33, F.lit(1.0))
+    return F.round(0.4 * length_term + 0.4 * stop_term + 0.2 * alpha_ratio(text_col), 6)
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """lowercase + collapse whitespace — shared by fingerprint/dedup."""
+    return F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Deterministic document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(text_col))
+
+
+def rolling_hashes(text_col: str = "text", window: int = 8) -> Column:
+    """Winnowing-style k-gram rolling hashes: xxhash64 of each
+    ``window``-token gram (expression-only; selection of window minima
+    is the caller's aggregation)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window)))
+    )

@@ -1,0 +1,276 @@
+"""Text functions, dedup suite, similarity search, multimodal plumbing —
+verified against pandas/numpy brute-force oracles on sf0.001 tables."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mimir_spark import dedup, similarity
+from mimir_spark.functions import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(emb):
+    return emb.toPandas()
+
+
+# ---------------------------------------------------------------------------
+# text functions
+# ---------------------------------------------------------------------------
+
+def _py_tokens(t):
+    t = (t or "").strip().lower()
+    return re.split(r"[ \t\n\r]+", t) if t else []
+
+
+def test_token_count(docs, docs_pdf):
+    got = docs.select("doc_id", TX.token_count().alias("n")).toPandas()
+    got = dict(zip(got.doc_id, got.n))
+    for r in docs_pdf.itertuples(index=False):
+        assert got[r.doc_id] == len(_py_tokens(r.text)), r.doc_id
+
+
+def test_lang_id_matches_python_oracle(docs, docs_pdf):
+    got = docs.select("doc_id", TX.lang_id().alias("lang")).toPandas()
+    got = dict(zip(got.doc_id, got.lang))
+
+    def py_lang(t):
+        toks = _py_tokens(t)
+        best, best_s = "und", 0
+        for lang in TX.LANG_PRIORITY:
+            s = sum(1 for x in toks if x in TX.LANG_MARKERS[lang])
+            if s > best_s:
+                best, best_s = lang, s
+        return best
+
+    for r in docs_pdf.itertuples(index=False):
+        assert got[r.doc_id] == py_lang(r.text), r.doc_id
+
+
+def test_lang_id_accuracy_on_labels(docs, docs_pdf):
+    """Sanity vs the table's lang ground truth on en rows (our lexicons
+    only cover 4 languages)."""
+    got = docs.select("doc_id", "lang", TX.lang_id().alias("pred")).toPandas()
+    en = got[got.lang == "en"]
+    if len(en):
+        assert (en.pred == "en").mean() > 0.5
+
+
+def test_quality_score_bounds(docs):
+    q = docs.select(TX.quality_score().alias("q")).toPandas()["q"]
+    assert ((q >= 0) & (q <= 1)).all()
+
+
+def test_fingerprint_matches_md5(docs, docs_pdf):
+    got = docs.select("doc_id", TX.fingerprint().alias("fp")).toPandas()
+    got = dict(zip(got.doc_id, got.fp))
+    for r in docs_pdf.itertuples(index=False):
+        norm = re.sub(r"[ \t\n\r]+", " ", (r.text or "").strip().lower())
+        assert got[r.doc_id] == hashlib.md5(norm.encode()).hexdigest()
+
+
+def test_rolling_hashes_shape(docs):
+    out = docs.select("doc_id", TX.rolling_hashes(window=8).alias("rh"),
+                      TX.token_count().alias("n")).toPandas()
+    for r in out.itertuples(index=False):
+        assert len(r.rh) == max(r.n - 7, 0)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup(docs, docs_pdf):
+    got = dedup.exact_dedup(docs).toPandas()
+    norm = docs_pdf["text"].fillna("").str.strip().str.lower().str.replace(
+        r"[ \t\n\r]+", " ", regex=True)
+    want = docs_pdf.assign(_n=norm).groupby("_n")["doc_id"].agg(["min", "count"])
+    assert len(got) == len(want)
+    merged = dict(zip(got.doc_id, got.dup_count))
+    for _, row in want.iterrows():
+        assert merged[row["min"]] == row["count"]
+
+
+def _py_shingles(t, n=3):
+    toks = _py_tokens(t)
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_jaccard_pairs(docs, docs_pdf):
+    tau = 0.4
+    got = {(r.doc_a, r.doc_b) for r in dedup.jaccard_pairs(docs, tau).collect()}
+    sh = {r.doc_id: _py_shingles(r.text) for r in docs_pdf.itertuples(index=False)}
+    ids = sorted(sh)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            A, B = sh[a], sh[b]
+            if A and B:
+                j = round(len(A & B) / len(A | B), 6)
+                if j >= tau:
+                    want.add((a, b))
+    assert got == want
+
+
+def test_minhash_lsh_candidates_superset_of_high_jaccard(docs, docs_pdf):
+    """LSH candidates must recall near-identical docs (jaccard ~1)."""
+    cands = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    sh = {r.doc_id: _py_shingles(r.text) for r in docs_pdf.itertuples(index=False)}
+    ids = sorted(sh)
+    strong = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            A, B = sh[a], sh[b]
+            if A and B and len(A & B) / len(A | B) >= 0.9:
+                strong.add((a, b))
+    assert strong, "fixture should contain near-identical docs"
+    assert strong <= cands
+
+
+def test_simhash_pairs_catch_near_identical(docs, docs_pdf):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.simhash_pairs(docs, 3).collect()}
+    sh = {r.doc_id: _py_shingles(r.text, 1) for r in docs_pdf.itertuples(index=False)}
+    exact_dups = set()
+    bytext = {}
+    for r in docs_pdf.itertuples(index=False):
+        bytext.setdefault((r.text or "").strip().lower(), []).append(r.doc_id)
+    for ids in bytext.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                exact_dups.add((a, b))
+    assert exact_dups <= pairs
+
+
+def test_cosine_dup_pairs(emb, emb_pdf):
+    tau = 0.95
+    got = {(r.id_a, r.id_b) for r in dedup.cosine_dup_pairs(emb, tau).collect()}
+    V = np.stack(emb_pdf["embedding"].map(np.asarray)).astype(np.float64)
+    ids = emb_pdf["vec_id"].to_numpy()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = int(ids[i]), int(ids[j])
+            lo, hi = min(a, b), max(a, b)
+            if round(S[i, j], 6) >= tau:
+                want.add((lo, hi))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_brute_force_topk(emb, emb_pdf):
+    q = np.asarray(emb_pdf.loc[emb_pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    got = similarity.brute_force_topk(emb, q.tolist(), 10).toPandas()
+    V = np.stack(emb_pdf["embedding"].map(np.asarray)).astype(np.float64)
+    sims = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(np.round(sims, 6), -emb_pdf["vec_id"].to_numpy()),
+                   reverse=True)[:10]
+    want_ids = [int(-negid) for (_, negid) in order]
+    assert got["vec_id"].tolist() == want_ids
+
+
+def test_lsh_topk_recall_random_data(emb, emb_pdf):
+    """sf embeddings are near-orthogonal (top-10 cosine ~0.3) — the LSH
+    worst case; require modest recall while probing ~36% of buckets."""
+    q = np.asarray(emb_pdf.loc[emb_pdf.vec_id == 0, "embedding"].iloc[0], dtype=np.float64)
+    exact = set(similarity.brute_force_topk(emb, q.tolist(), 10).toPandas()["vec_id"])
+    approx = set(similarity.lsh_topk(emb, q.tolist(), 10, n_planes=8,
+                                     probe_hamming=3).toPandas()["vec_id"])
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_lsh_topk_recall_clustered_data(spark):
+    """On clustered data (the realistic corpus shape) LSH must achieve
+    high recall with few probes."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 64)) * 3
+    vecs = np.concatenate([c + rng.standard_normal((60, 64)) * 0.3 for c in centers])
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    q = vecs[3].tolist()
+    exact = set(similarity.brute_force_topk(df, q, 10).toPandas()["vec_id"])
+    approx = set(similarity.lsh_topk(df, q, 10, n_planes=10,
+                                     probe_hamming=2).toPandas()["vec_id"])
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low on clustered data: {recall}"
+
+
+def test_lsh_scans_fewer_rows(emb):
+    dim = len(emb.first()["embedding"])
+    sigs = similarity.hyperplane_signature(emb, 12, dim)
+    total = sigs.count()
+    biggest = sigs.groupBy("bucket").count().agg(F.max("count")).collect()[0][0]
+    assert biggest < total  # bucketing actually partitions the space
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features(spark):
+    from mimir_spark.multimodal import extract_features, synthetic_media_df
+
+    media = synthetic_media_df(spark, 48)
+    feats = extract_features(media, feat_dim=16).toPandas()
+    assert len(feats) == 48
+    assert (feats["feat_dim"] == 16).all()
+    assert feats["feat"].map(len).eq(16).all()
+    assert (feats["n_bytes"] > 0).all()
+    # determinism across runs
+    again = extract_features(synthetic_media_df(spark, 48), 16).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert all(np.array_equal(x, y) for x, y in zip(a["feat"], b["feat"]))
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    from mimir_spark.multimodal import extract_features, synthetic_media_df
+
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        extract_features(synthetic_media_df(spark, 4), decoder="real").collect()
+
+
+def test_frame_sample_plan(spark):
+    from mimir_spark.multimodal import frame_sample_plan, synthetic_media_df
+
+    media = synthetic_media_df(spark, 30)
+    plan = frame_sample_plan(media, 500).toPandas()
+    assert (plan["frame_ms"] % 500 == 0).all()
+    vids = media.filter("kind = 'video'").count()
+    assert plan["media_id"].nunique() == vids
