@@ -1,38 +1,742 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface over the driver's
+test tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+Determinism rules shared by both sides:
+
+- every double SUM goes through DECIMAL(18,2) (exact, order-independent)
+  and is cast back to double, so Spark's parallel partial aggregation
+  and DuckDB's sequential scan agree bit-for-bit;
+- every "last point" aggregate is keyed on the total order
+  (ts, event_id) — max_by(struct) in Spark, ROW_NUMBER in DuckDB;
+- every top-k has a total tie-break order;
+- float formulas (cosine, interpolation) are written with identical
+  operation order on both sides and rounded.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from mimir_spark import dedup, similarity
+from mimir_spark.functions import text as TX
+from mimir_spark.gapfill import gapfill
+from mimir_spark.operators import terms as TERMS
+
+DEC = "decimal(18,2)"
+_ORD = lambda: F.struct(F.col("ts"), F.col("event_id"))  # noqa: E731
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# time-series rollup surface (events as the series table)
+# ---------------------------------------------------------------------------
+
+def _rollup_events(spark, sf_dir, trunc: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", F.date_trunc(trunc, "ts").alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.max_by("value", _ORD()).alias("last_v"),
+        )
+    )
+
+
+def q_rollup_events_1m(spark, sf_dir):
+    return _rollup_events(spark, sf_dir, "minute")
+
+
+def q_rollup_events_1h_cascade(spark, sf_dir):
+    """1h tier computed FROM the 1m tier (cascade); the oracle computes
+    1h directly from raw — proving cascade == direct."""
+    ev = _events(spark, sf_dir)
+    m1 = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("b1m"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_d"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.max_by("value", _ORD()).alias("last_v"),
+        )
+    )
+    return (
+        m1.groupBy("event_type", F.date_trunc("hour", "b1m").alias("bucket_ts"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_d").cast("double").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            F.max_by("last_v", F.col("b1m")).alias("last_v"),
+        )
+    )
+
+
+_ROLLUP_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, date_trunc('{trunc}', ts) AS bucket_ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, date_trunc('{trunc}', ts)
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       max(CASE WHEN rn = 1 THEN value END) AS last_v
+FROM ranked
+GROUP BY event_type, bucket_ts
+"""
+
+
+def q_gapfill_locf_events_1h(spark, sf_dir):
+    hourly = _rollup_events(spark, sf_dir, "hour").select(
+        F.lit("events").alias("kind"),
+        F.col("event_type").alias("series_key"),
+        F.lit("sum_v").alias("metric"),
+        "bucket_ts", "sum_v",
+    )
+    out = gapfill(hourly, "1h", "sum_v", "locf")
+    return out.select(F.col("series_key").alias("event_type"),
+                      "bucket_ts", "sum_v", "filled")
+
+
+def q_gapfill_linear_events_1h(spark, sf_dir):
+    hourly = _rollup_events(spark, sf_dir, "hour").select(
+        F.lit("events").alias("kind"),
+        F.col("event_type").alias("series_key"),
+        F.lit("sum_v").alias("metric"),
+        "bucket_ts", "sum_v",
+    )
+    out = gapfill(hourly, "1h", "sum_v", "linear")
+    return out.select(F.col("series_key").alias("event_type"),
+                      "bucket_ts", "sum_v", "filled")
+
+
+_GAPFILL_GRID = """
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT h.event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM (SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        FROM hourly GROUP BY 1) h
+),
+joined AS (
+  SELECT g.event_type, g.bucket_ts, h.sum_v AS obs
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.bucket_ts = h.bucket_ts
+)
+"""
+
+_GAPFILL_LOCF_ORACLE = f"""
+WITH {_GAPFILL_GRID}
+SELECT event_type, bucket_ts,
+       last_value(obs IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_v,
+       obs IS NULL AS filled
+FROM joined
+"""
+
+_GAPFILL_LINEAR_ORACLE = f"""
+WITH {_GAPFILL_GRID},
+w AS (
+  SELECT event_type, bucket_ts, obs,
+     last_value(obs IGNORE NULLS) OVER prev AS pv,
+     first_value(obs IGNORE NULLS) OVER nxt AS nv,
+     last_value(CASE WHEN obs IS NOT NULL THEN CAST(epoch(bucket_ts) AS DOUBLE) END IGNORE NULLS) OVER prev AS pt,
+     first_value(CASE WHEN obs IS NOT NULL THEN CAST(epoch(bucket_ts) AS DOUBLE) END IGNORE NULLS) OVER nxt AS nt
+  FROM joined
+  WINDOW
+    prev AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    nxt AS (PARTITION BY event_type ORDER BY bucket_ts
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket_ts,
+       CASE WHEN obs IS NOT NULL THEN obs
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * (CAST(epoch(bucket_ts) AS DOUBLE) - pt) / (nt - pt)
+       END AS sum_v,
+       obs IS NULL AS filled
+FROM w
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap; per-user session count and
+    longest session (events)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # integer microsecond arithmetic on both engines — no float boundary
+    # (cast NTZ->TZ is identity under the pinned UTC session timezone)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us, 1).over(w)
+    sess = (
+        ev.withColumn("new_sess",
+                      F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0))
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n").alias("longest_session"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n FROM s GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions, max(n) AS longest_session
+FROM per_sess GROUP BY user_id
+"""
+
+
+def q_topk_users_by_value(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"))
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+def q_seq_click_purchase(spark, sf_dir):
+    """Sequence operator over the event stream: 'click' followed by
+    'purchase' within the next 2 events of the same user."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt1 = F.lead("event_type", 1).over(w)
+    nxt2 = F.lead("event_type", 2).over(w)
+    hits = ev.withColumn(
+        "hit",
+        (F.col("event_type") == "click")
+        & ((nxt1 == "purchase") | (nxt2 == "purchase")),
+    )
+    return (
+        hits.groupBy("user_id")
+        .agg(F.sum(F.col("hit").cast("long")).alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
+
+
+_SEQ_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n1,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n2
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' AND (n1 = 'purchase' OR n2 = 'purchase')
+                THEN 1 ELSE 0 END) AS n_pairs
+FROM w GROUP BY user_id HAVING n_pairs > 0
+"""
+
+
+def q_users_view_no_purchase(spark, sf_dir):
+    """MinusQuery analogue: doc-set difference via anti-join."""
+    ev = _events(spark, sf_dir)
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return viewers.join(buyers, "user_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (lineitem/orders/customer/part)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    charge = disc * (F.lit(1).cast(DEC) + F.col("l_tax").cast(DEC))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+    AS sum_charge,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_segment(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_top_brands_by_revenue(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(5)
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti") \
+        .select("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# terms-query surface over documents (Mimir facet algebra)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENIZE = (
+    "unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r]+')) AS term"
+)
+
+
+def q_terms_topk_documents(spark, sf_dir):
+    toks = TERMS.tokenize(_docs(spark, sf_dir), id_col="doc_id")
+    return TERMS.top_k_terms(toks, 20)
+
+
+def _sw_list() -> str:
+    return ", ".join(f"'{w}'" for w in TERMS.DEFAULT_STOPWORDS)
+
+
+_TERMS_TOPK_ORACLE = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKENIZE}
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT term, count(*) AS count
+FROM toks
+WHERE length(term) > 0 AND term NOT IN ({_sw_list()})
+GROUP BY term
+ORDER BY count DESC, term ASC
+LIMIT 20
+"""
+
+
+def q_documents_and_terms(spark, sf_dir):
+    toks = TERMS.tokenize(_docs(spark, sf_dir), id_col="doc_id")
+    return TERMS.documents_and_terms(toks, [0, 1, 2, 3, 4])
+
+
+_AND_TERMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENIZE}
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0 AND doc_id IN (0,1,2,3,4)
+)
+SELECT term, count(*) AS count
+FROM toks WHERE length(term) > 0
+GROUP BY term
+HAVING count(DISTINCT doc_id) = 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops over documents/embeddings
+# ---------------------------------------------------------------------------
+
+def q_lang_id_counts(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select(TX.lang_id().alias("pred_lang"))
+        .groupBy("pred_lang").agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang])
+    return (
+        "len(list_filter(string_split_regex(trim(lower(coalesce(text,''))), "
+        f"'[ \\t\\n\\r]+'), x -> list_contains([{markers}], x)))"
+    )
+
+
+_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT {_lang_score_sql('en')} AS s_en, {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr, {_lang_score_sql('es')} AS s_es
+  FROM documents
+), pred AS (
+  SELECT CASE
+    WHEN s_en >= greatest(s_de, s_fr, s_es, 1) THEN 'en'
+    WHEN s_de >= greatest(s_fr, s_es, 1) THEN 'de'
+    WHEN s_fr >= greatest(s_es, 1) THEN 'fr'
+    WHEN s_es >= 1 THEN 'es'
+    ELSE 'und' END AS pred_lang
+  FROM scored
+)
+SELECT pred_lang, count(*) AS n_docs FROM pred GROUP BY pred_lang
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        TX.token_count().alias("n_tokens"),
+        F.length(F.col("text")).alias("n_chars_text"),
+    )
+
+
+_TOKEN_STATS_ORACLE = """
+SELECT doc_id,
+  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) END AS n_tokens,
+  length(text) AS n_chars_text
+FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.quality_score().alias("quality"))
+
+
+_QUALITY_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) END AS n_tok,
+    {_lang_score_sql('en')} AS stop_hits,
+    length(lower(text)) AS n_chars,
+    length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS kept
+  FROM documents
+)
+SELECT doc_id,
+  round(
+    0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+    + 0.4 * least((CASE WHEN n_tok = 0 THEN 0.0
+                        ELSE CAST(stop_hits AS DOUBLE) / n_tok END) * 3.33, 1.0)
+    + 0.2 * (CASE WHEN n_chars = 0 THEN 0.0
+                  ELSE CAST(kept AS DOUBLE) / n_chars END), 6) AS quality
+FROM base
+"""
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+_DEDUP_EXACT_ORACLE = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '[ \\t\\n\\r]+', ' ', 'g')) AS f
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM fp GROUP BY f
+"""
+
+
+def q_jaccard_dup_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), tau=0.4)
+
+
+_SQL_SHINGLES = """
+shingled AS (
+  SELECT doc_id, UNNEST(list_distinct(sh)) AS shingle
+  FROM (
+    SELECT doc_id,
+      list_transform(
+        range(1, greatest(len(toks) - 2, 0) + 1),
+        i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+      ) AS sh
+    FROM (
+      SELECT doc_id,
+             string_split_regex(trim(lower(coalesce(text, ''))), '[ \\t\\n\\r]+') AS toks
+      FROM documents WHERE length(trim(coalesce(text, ''))) > 0
+    )
+  )
+)
+"""
+
+_JACCARD_ORACLE = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingled a JOIN shingled b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) >= 0.4
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n    ".join(
+        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(16)
+    )
+    bands = []
+    for b in range(4):
+        cols = " || '|' || ".join(f"h{b * 4 + r}" for r in range(4))
+        bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
+    band_sql = "\nUNION ALL\n".join(bands)
+    return f"""
+WITH {_SQL_SHINGLES},
+sig AS (
+  SELECT doc_id, {mins}
+  FROM shingled GROUP BY doc_id
+),
+bands AS ({band_sql})
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y
+  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+"""
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    # k=11: the query vector itself is always rank 1 (cosine 1.0)
+    return similarity.brute_force_topk(emb, [float(x) for x in qvec], 11) \
+        .filter(F.col("vec_id") != 0)
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+    round(
+      list_dot_product(e.embedding::DOUBLE[], q.qv)
+      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM embeddings e, q
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10 OFFSET 1
+"""
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    return dedup.cosine_dup_pairs(_emb(spark, sf_dir), tau=0.5)
+
+
+_COSINE_DUP_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6
+  ) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only entries (non-SQL-expressible: hashes/approximate/binary UDFs)
+# ---------------------------------------------------------------------------
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.lsh_topk(emb, [float(x) for x in qvec], 10,
+                               n_planes=8, probe_hamming=3)
+
+
+def q_transcript_rollup_1m(spark, sf_dir):
+    """Flagship engine path on the deterministic transcript corpus:
+    ingest -> metric explode -> one-pass tiered rollup (1m slice)."""
+    from mimir_spark.fixtures import transcripts_df
+    from mimir_spark.ingest import ingest, turn_metrics
+    from mimir_spark.rollup import rollup_points
+
+    t = transcripts_df(spark, 200)
+    rolled = rollup_points(turn_metrics(ingest(t)), tiers=("1m",))
+    return rolled.select("kind", "series_key", "metric", "bucket_ts",
+                         "cnt", "sum_v", "min_v", "max_v", "last_v",
+                         F.length("chunk").alias("chunk_bytes"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from mimir_spark.multimodal import extract_features, synthetic_media_df
+
+    return extract_features(synthetic_media_df(spark, 64), feat_dim=16) \
+        .select("media_id", "kind", "feat_dim", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: 1-minute rollup tier
+    over the events series table."""
+    return q_rollup_events_1m(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # time-series rollup surface
+        "rollup_events_1m": q_rollup_events_1m,
+        "rollup_events_1h_cascade": q_rollup_events_1h_cascade,
+        "gapfill_locf_events_1h": q_gapfill_locf_events_1h,
+        "gapfill_linear_events_1h": q_gapfill_linear_events_1h,
+        "sessionize_events": q_sessionize_events,
+        "topk_users_by_value": q_topk_users_by_value,
+        "seq_click_purchase": q_seq_click_purchase,
+        "users_view_no_purchase": q_users_view_no_purchase,
+        # relational coverage
+        "q1_pricing_summary": q_q1_pricing_summary,
+        "revenue_by_segment": q_revenue_by_segment,
+        "top_brands_by_revenue": q_top_brands_by_revenue,
+        "customers_without_orders": q_customers_without_orders,
+        # terms algebra
+        "terms_topk_documents": q_terms_topk_documents,
+        "documents_and_terms": q_documents_and_terms,
+        # training-data pipeline
+        "lang_id_counts": q_lang_id_counts,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "jaccard_dup_pairs": q_jaccard_dup_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        # rows-only (non-SQL-expressible)
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "transcript_rollup_1m": q_transcript_rollup_1m,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_events_1m": _ROLLUP_ORACLE.format(trunc="minute"),
+        "rollup_events_1h_cascade": _ROLLUP_ORACLE.format(trunc="hour"),
+        "gapfill_locf_events_1h": _GAPFILL_LOCF_ORACLE,
+        "gapfill_linear_events_1h": _GAPFILL_LINEAR_ORACLE,
+        "sessionize_events": _SESSIONIZE_ORACLE,
+        "topk_users_by_value": """
+            SELECT user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY total_value DESC, user_id ASC LIMIT 10
+        """,
+        "seq_click_purchase": _SEQ_ORACLE,
+        "users_view_no_purchase": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "q1_pricing_summary": _Q1_ORACLE,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_brands_by_revenue": """
+            SELECT p_brand,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 5
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "terms_topk_documents": _TERMS_TOPK_ORACLE,
+        "documents_and_terms": _AND_TERMS_ORACLE,
+        "lang_id_counts": _LANG_ORACLE,
+        "token_stats": _TOKEN_STATS_ORACLE,
+        "quality_scores": _QUALITY_ORACLE,
+        "dedup_exact_docs": _DEDUP_EXACT_ORACLE,
+        "jaccard_dup_pairs": _JACCARD_ORACLE,
+        "minhash_lsh_pairs": _minhash_oracle(),
+        "ann_topk_cosine": _ANN_ORACLE,
+        "cosine_dup_pairs": _COSINE_DUP_ORACLE,
+    }

@@ -1,0 +1,82 @@
+"""Driver-contract simulation: run every queries() entry at sf0.01 and
+compare against its oracle_sql() via DuckDB — column names, row counts,
+and EXACT values (stricter than the driver's value hash)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(out[c]):
+            out[c] = out[c].astype(bool)
+        elif pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values(list(out.columns), kind="mergesort",
+                           na_position="last").reset_index(drop=True)
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_every_oracle_key_has_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema) >= 3
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    got = _canon(QUERIES[name](spark, SF).toPandas())
+    want = _canon(con.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}")
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]):
+            a = got[c].to_numpy(dtype=np.float64)
+            b = want[c].to_numpy(dtype=np.float64)
+            both_nan = np.isnan(a) & np.isnan(b)
+            assert bool(np.all(both_nan | (a == b))), (
+                f"{name}.{c}: max diff "
+                f"{np.nanmax(np.abs(a - b)) if len(a) else 0}"
+            )
+        else:
+            assert got[c].where(got[c].notna(), None).tolist() == \
+                want[c].where(want[c].notna(), None).tolist(), f"{name}.{c}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
