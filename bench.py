@@ -1,0 +1,193 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the transcript
+rollup pipeline at two parallelism levels for the scaling-efficiency
+evidence (BASELINE.json north rule: efficiency >= 0.8 from N to 4N).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "transcript": {...}, "scaling": {...}}
+
+Also rewrites BENCH.md with the human-readable table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+CACHE = REPO / ".cache"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Scaling evidence runs at N=1 -> 4N=4: this sandbox advertises 32
+# vCPUs but sustains far less parallel throughput (32 concurrent
+# CPU-bound processes run 3.2x slower than 8), and its single shared
+# disk serves every "executor", so high pairs measure host contention,
+# not the engine. 1->4 stays inside the honest capacity.
+SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
+SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400000"))
+
+HEADLINE = [
+    "rollup_events_1m",
+    "rollup_events_1h_cascade",
+    "gapfill_locf_events_1h",
+    "sessionize_events",
+    "q1_pricing_summary",
+    "terms_topk_documents",
+    "dedup_exact_docs",
+    "minhash_lsh_pairs",
+    "ann_topk_cosine",
+    "simhash_pairs",
+]
+
+
+def _materialize(df) -> int:
+    """Force full computation without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _fresh_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        # new JVM-side context is created lazily on next builder call
+    from mimir_spark.session import get_spark
+
+    # shuffle partition COUNT is fixed across parallelism levels (a
+    # memory-sizing knob, not a parallelism knob): on a real cluster N
+    # and 4N executors run the same partitioning; letting it shrink
+    # with cores makes the low-parallelism run spill and fakes scaling
+    return get_spark(f"bench-{cpus}", cpus=cpus, shuffle_partitions=64)
+
+
+def _ensure_corpus(spark) -> tuple[str, int]:
+    """Deterministic transcript corpus, generated once and cached."""
+    out = CACHE / f"transcripts_bench_{BENCH_CONVS}"
+    marker = out / "_SUCCESS"
+    if not marker.exists():
+        from mimir_spark.fixtures import transcripts_df
+
+        transcripts_df(spark, BENCH_CONVS).write.mode("overwrite").parquet(str(out))
+    n = spark.read.parquet(str(out)).count()
+    return str(out), n
+
+
+def _rollup_run(spark, corpus_path: str, warmup: bool = True) -> float:
+    from mimir_spark.rollup import rollup_transcripts
+
+    src = spark.read.parquet(corpus_path)
+    if warmup:
+        # steady-state measurement: spawn python workers / JIT once on a
+        # small slice before the timed run
+        tiny = src.filter("conv_id like '%000'")
+        _materialize(rollup_transcripts(tiny))
+    t0 = time.monotonic()
+    _materialize(rollup_transcripts(src))
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    results: dict[str, float] = {}
+    t_total0 = time.monotonic()
+
+    spark = _fresh_spark(CPUS)
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        _materialize(fn(spark, SF_DIR))
+        results[name] = round(time.monotonic() - t0, 3)
+
+    spark = _fresh_spark(SCALE_HI)
+    corpus_path, n_turns = _ensure_corpus(spark)
+    hi_sec = _rollup_run(spark, corpus_path)
+    hi_tps = n_turns / hi_sec
+
+    spark = _fresh_spark(SCALE_LO)
+    lo_sec = _rollup_run(spark, corpus_path)
+    lo_tps = n_turns / lo_sec
+    spark.stop()
+
+    ratio = SCALE_HI / SCALE_LO
+    efficiency = hi_tps / (ratio * lo_tps)
+    results["transcript_rollup_all_tiers"] = round(hi_sec, 3)
+
+    total = round(time.monotonic() - t_total0, 3)
+    payload = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None,
+        "transcript": {
+            "n_conversations": BENCH_CONVS,
+            "n_turns": n_turns,
+            "sec_all_tiers": round(hi_sec, 3),
+            "turns_per_sec": round(hi_tps, 1),
+        },
+        "scaling": {
+            "cpus_lo": SCALE_LO,
+            "sec_lo": round(lo_sec, 3),
+            "turns_per_sec_lo": round(lo_tps, 1),
+            "cpus_hi": SCALE_HI,
+            "sec_hi": round(hi_sec, 3),
+            "turns_per_sec_hi": round(hi_tps, 1),
+            "efficiency": round(efficiency, 3),
+        },
+    }
+    _write_md(payload)
+    print(json.dumps(payload))
+
+
+def _write_md(p: dict) -> None:
+    q = "\n".join(f"| {k} | {v} |" for k, v in p["queries"].items())
+    s = p["scaling"]
+    t = p["transcript"]
+    (REPO / "BENCH.md").write_text(f"""# BENCH
+
+Latest local run. sf_dir = `{SF_DIR}`, cpus = {CPUS}.
+
+## Headline queries (sec, full materialization via noop sink)
+
+| query | sec |
+|---|---|
+{q}
+
+## Transcript rollup pipeline (ingest -> dedup -> metric explode ->
+## one-pass 1m/1h/1d rollup with Gorilla chunks)
+
+- corpus: {t["n_conversations"]} conversations, {t["n_turns"]} turns
+  (deterministic fixture, hot-conversation skew + duplicates enabled)
+- all-tiers wall clock at local[{s["cpus_hi"]}]: {t["sec_all_tiers"]} s
+- throughput: {t["turns_per_sec"]} turns/sec
+
+## Scaling evidence (north rule: efficiency >= 0.8 from N to 4N)
+
+Same job, same cached input, two parallelism levels (the sandbox
+stand-in for two cluster sizes). N={s["cpus_lo"]} -> 4N={s["cpus_hi"]}
+because this host advertises 32 vCPUs but sustains far less parallel
+throughput (verified: 32 concurrent CPU-bound processes run 3.2x
+slower than 8) and serves all "executors" from one shared disk;
+higher pairs measure host contention, not the engine.
+
+| parallelism | sec | turns/sec |
+|---|---|---|
+| local[{s["cpus_lo"]}] | {s["sec_lo"]} | {s["turns_per_sec_lo"]} |
+| local[{s["cpus_hi"]}] | {s["sec_hi"]} | {s["turns_per_sec_hi"]} |
+
+scaling efficiency = T({s["cpus_hi"]}) / ({s["cpus_hi"]}/{s["cpus_lo"]} x T({s["cpus_lo"]})) = **{s["efficiency"]}**
+""")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,36 +35,57 @@ def dedup_turns(df: DataFrame) -> DataFrame:
     """Keep exactly one row per (conv_id, turn_idx), deterministically.
 
     Total tie-break order over all columns makes the survivor invariant
-    under input shuffling (FIXTURES.md invariant 5).
+    under input shuffling (FIXTURES.md invariant 5). The window
+    partitions by conv_id only (turn runs are resolved by the sort), so
+    a plan already hash-partitioned by conv_id needs NO extra shuffle —
+    one data movement serves dedup, ordering, and conv-series rollup.
     """
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+    tb = F.md5("text") if "text" in df.columns else F.col("n_tok")
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(),
         F.col("ts").asc_nulls_last(),
         F.col("role").asc_nulls_last(),
         F.col("tool").asc_nulls_last(),
-        F.col("text").asc_nulls_last(),
+        tb.asc_nulls_last(),
     )
+    prev = F.lag("turn_idx", 1).over(w)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn("_dup", prev.isNotNull() & (prev == F.col("turn_idx")))
+        .filter(~F.col("_dup"))
+        .drop("_dup")
     )
 
 
 def ingest(df: DataFrame) -> DataFrame:
     """Dedup + stable clustering by (conv_id, turn_idx).
 
-    repartition(hash(conv_id)) + sortWithinPartitions preserves the
-    per-turn text-equality invariant: rows are only moved and ordered,
-    never rewritten.
+    ONE shuffle: repartition(hash(conv_id)); the dedup window reuses
+    that partitioning (its sort replaces sortWithinPartitions). Rows
+    are only moved and ordered, never rewritten — the per-turn
+    text-equality invariant.
     """
-    return (
-        dedup_turns(df)
-        .repartition(F.col("conv_id"))
-        .sortWithinPartitions("conv_id", "turn_idx")
-    )
+    return dedup_turns(df.repartition(F.col("conv_id")))
 
 
 METRIC_COLS = ("kind", "series_key", "metric", "ts", "conv_id", "turn_idx", "v")
+
+
+def narrow_turns(df: DataFrame) -> DataFrame:
+    """Rollup-path projection: text is read once at the scan, reduced to
+    n_tok, and never shuffled — the shuffle moves ~50-byte rows instead
+    of whole documents. The canonical text table is ``ingest``'s job,
+    not the rollup's (Mimir likewise stores the document collection
+    once and indexes narrow postings, DocumentCollection.java:476 vs
+    AtomicIndex postings).
+
+    Dedup tie-break here is (ts, role, tool, n_tok) — sufficient for
+    rollup determinism because every downstream metric is a function of
+    exactly those columns; colliding rows that agree on all of them
+    produce identical rollups whichever survives."""
+    return df.select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        token_count_col().alias("n_tok"),
+    )
 
 
 def turn_metrics(df: DataFrame) -> DataFrame:
@@ -77,9 +98,11 @@ def turn_metrics(df: DataFrame) -> DataFrame:
       (tool, <tool>, turn_rate, 1.0)      when tool is set
       (tool, <tool>, token_volume, n)     when tool is set
 
-    The array+explode stays entirely in whole-stage codegen.
+    The array+explode stays entirely in whole-stage codegen. Uses a
+    precomputed ``n_tok`` column when present (narrow path) so the
+    regex tokenizer runs exactly once per turn.
     """
-    tok = token_count_col().cast("double")
+    tok = (F.col("n_tok") if "n_tok" in df.columns else token_count_col()).cast("double")
     entry = lambda kind, key, metric, v: F.struct(  # noqa: E731
         kind.alias("kind"), key.alias("series_key"),
         metric.alias("metric"), v.alias("v"),

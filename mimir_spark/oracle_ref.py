@@ -27,11 +27,23 @@ def token_count(text) -> int:
 
 
 def dedup_turns(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One row per (conv_id, turn_idx): min by (ts, role, tool, text)."""
+    """One row per (conv_id, turn_idx): min by (ts, role, tool,
+    md5(text)) — md5 as tie-break so the engine never has to shuffle
+    document text just to resolve colliding turn ids."""
+    import hashlib
+
     key_cols = ["conv_id", "turn_idx"]
-    sort_cols = key_cols + ["ts", "role", "tool", "text"]
-    out = pdf.sort_values(sort_cols, na_position="last", kind="mergesort")
-    return out.drop_duplicates(key_cols, keep="first").reset_index(drop=True)
+    out = pdf.assign(
+        _tb=pdf["text"].map(
+            lambda t: None if t is None else hashlib.md5(t.encode()).hexdigest()
+        )
+    )
+    sort_cols = key_cols + ["ts", "role", "tool", "_tb"]
+    out = out.sort_values(sort_cols, na_position="last", kind="mergesort")
+    return (
+        out.drop_duplicates(key_cols, keep="first")
+        .drop(columns=["_tb"]).reset_index(drop=True)
+    )
 
 
 def turn_metrics(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -124,3 +124,16 @@ def test_per_turn_text_equality(spark, t_small, t_small_df):
 def test_dedup_deterministic(spark, t_small_df):
     got = dedup_turns(t_small_df).groupBy("conv_id", "turn_idx").count().toPandas()
     assert (got["count"] == 1).all()
+
+
+def test_rollup_transcripts_fast_path_equivalent(spark, t_small_df, spark_rollup):
+    """The scale-tuned pipeline (narrow projection, int8 metric codes,
+    conv series rolled up with no second shuffle) must produce the
+    byte-identical result of the reference composition."""
+    from mimir_spark.rollup import rollup_transcripts
+
+    got = _norm(rollup_transcripts(t_small_df).toPandas())
+    want = _norm(pd.DataFrame(spark_rollup))
+    pd.testing.assert_frame_equal(got[KEY + AGGS], want[KEY + AGGS],
+                                  check_dtype=False)
+    assert all(bytes(x) == bytes(y) for x, y in zip(got["chunk"], want["chunk"]))
