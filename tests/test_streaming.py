@@ -1,0 +1,61 @@
+"""Streaming rollup == batch rollup on the emitted (closed) windows —
+the continuous-ingest visibility contract of SURVEY.md §2.8."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
+from mimir_spark.ingest import ingest, turn_metrics
+from mimir_spark.rollup import rollup_aggs
+from mimir_spark.streaming.rollup_stream import run_stream_to_memory
+
+KEY = ["kind", "series_key", "metric", "bucket_ts"]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, t_small, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_src")
+    # several files so maxFilesPerTrigger yields real micro-batches
+    df = spark.createDataFrame(t_small, schema=TRANSCRIPT_SCHEMA)
+    df.repartition(8).write.mode("overwrite").parquet(str(d / "data"))
+    return str(d / "data")
+
+
+def test_streaming_matches_batch(spark, t_small_df, stream_dir):
+    q = run_stream_to_memory(spark, stream_dir, TRANSCRIPT_SCHEMA,
+                             query_name="s1", tier="1h")
+    try:
+        got = spark.sql("SELECT * FROM s1").toPandas()
+    finally:
+        q.stop()
+
+    batch = rollup_aggs(turn_metrics(ingest(t_small_df)), "1h") \
+        .drop("last_v").toPandas()
+
+    got = got.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    # append mode only emits windows closed by the final watermark;
+    # compare on the emitted subset (the rest stays in state — the
+    # "unsearchable until sync" tail of the reference)
+    batch = batch.merge(got[KEY], on=KEY, how="inner") \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    assert len(got) > 0, "stream must emit closed windows"
+    pd.testing.assert_frame_equal(
+        got[KEY + ["cnt", "sum_v", "min_v", "max_v"]],
+        batch[KEY + ["cnt", "sum_v", "min_v", "max_v"]],
+        check_dtype=False,
+    )
+
+
+def test_streaming_emits_most_windows(spark, t_small_df, stream_dir):
+    """Sanity: the emitted set covers the bulk of the batch result
+    (only the watermark tail may be withheld)."""
+    q = run_stream_to_memory(spark, stream_dir, TRANSCRIPT_SCHEMA,
+                             query_name="s2", tier="1h")
+    try:
+        got = spark.sql("SELECT count(*) AS n FROM s2").toPandas()["n"][0]
+    finally:
+        q.stop()
+    total = rollup_aggs(turn_metrics(ingest(t_small_df)), "1h").count()
+    assert got >= 0.8 * total
