@@ -179,6 +179,35 @@ def gap_query(hits: DataFrame, k: int) -> DataFrame:
     return hits.withColumn("len", F.col("len") + F.lit(k))
 
 
+def render_hits(turns: DataFrame, hits: DataFrame, context: int = 0) -> DataFrame:
+    """Text reconstruction for hits + context window — the snippet
+    renderer (DocumentData.java:78-98; QueryEngine.java:461-572):
+    returns one row per hit with the covered turns' text joined in
+    order. Range join on turn_idx; text never leaves the JVM."""
+    h, t = hits.alias("h"), turns.alias("t")
+    cond = (
+        (F.col("h.conv_id") == F.col("t.conv_id"))
+        & (F.col("t.turn_idx") >= F.col("h.pos") - context)
+        & (F.col("t.turn_idx") < F.col("h.pos") + F.col("h.len") + context)
+    )
+    return (
+        h.join(t, cond)
+        .groupBy(F.col("h.conv_id").alias("conv_id"),
+                 F.col("h.pos").alias("pos"), F.col("h.len").alias("len"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct(F.col("t.turn_idx"), F.col("t.role"), F.col("t.text"))
+                    )),
+                    lambda s: F.concat_ws(": ", s["role"], s["text"]),
+                ),
+            ).alias("snippet")
+        )
+    )
+
+
 def and_query(*hit_dfs: DataFrame) -> DataFrame:
     """Minimal covering windows containing >=1 hit of every child —
     minimal-interval semantics (AndQuery.java:85-256, the

@@ -1,0 +1,136 @@
+"""As-of/range joins vs pandas merge_asof oracle; measurement rewrite;
+scoring expressions; hit text reconstruction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mimir_spark.functions.measurement import parse_spec, spec_predicate
+from mimir_spark.functions.scoring import binding_scorer_col, count_scorer, tf_idf_scores
+from mimir_spark.operators.joins import asof_join, asof_join_bucketed, range_join
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    rng = np.random.default_rng(11)
+    n_q, n_t = 2000, 800
+    keys = [f"k{i}" for i in range(5)]
+    quotes = pd.DataFrame({
+        "key": rng.choice(keys, n_q),
+        "ts": pd.to_datetime(np.sort(rng.integers(0, 10**6, n_q)) * 10**6, unit="us"),
+        "px": np.round(rng.normal(100, 5, n_q), 2),
+    })
+    trades = pd.DataFrame({
+        "key": rng.choice(keys, n_t),
+        "ts": pd.to_datetime(np.sort(rng.integers(0, 10**6, n_t)) * 10**6, unit="us"),
+        "qty": rng.integers(1, 100, n_t),
+    })
+    qdf = spark.createDataFrame(quotes, "key string, ts timestamp, px double")
+    tdf = spark.createDataFrame(trades, "key string, ts timestamp, qty long")
+    return quotes, trades, qdf, tdf
+
+
+def test_asof_join_matches_merge_asof(quotes_trades):
+    quotes, trades, qdf, tdf = quotes_trades
+    got = asof_join(tdf, qdf, on="ts", by="key", value_cols=["px"]) \
+        .toPandas().sort_values(["key", "ts", "qty"]).reset_index(drop=True)
+    want = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"),
+        on="ts", by="key", direction="backward", suffixes=("", "_asof"),
+    ).rename(columns={"px": "px_asof"}) \
+        .sort_values(["key", "ts", "qty"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["px_asof"], want["px_asof"],
+                                   check_dtype=False)
+
+
+def test_asof_bucketed_matches_within_tolerance(quotes_trades):
+    quotes, trades, qdf, tdf = quotes_trades
+    tol = 200  # seconds
+    got = asof_join_bucketed(tdf, qdf, on="ts", by="key", value_col="px",
+                             tolerance_sec=tol) \
+        .toPandas().sort_values(["key", "ts", "qty"]).reset_index(drop=True)
+    want = pd.merge_asof(
+        trades.sort_values("ts"), quotes.sort_values("ts"),
+        on="ts", by="key", direction="backward",
+        tolerance=pd.Timedelta(seconds=tol), suffixes=("", "_asof"),
+    ).rename(columns={"px": "px_asof"}) \
+        .sort_values(["key", "ts", "qty"]).reset_index(drop=True)
+    a, b = got["px_asof"], want["px_asof"]
+    assert ((a == b) | (a.isna() & b.isna())).all()
+
+
+def test_range_join(spark):
+    events = spark.createDataFrame(
+        [("a", 5), ("a", 15), ("b", 7)], "key string, ts long")
+    intervals = spark.createDataFrame(
+        [("a", 0, 10, "w1"), ("a", 10, 20, "w2"), ("b", 0, 5, "w3")],
+        "key string, start long, end long, name string")
+    got = {(r["ts"], r["name"]) for r in
+           range_join(events, intervals, "ts", "start", "end", by=["key"]).collect()}
+    assert got == {(5, "w1"), (15, "w2")}
+
+
+def test_parse_spec():
+    assert parse_spec("30 cm") == ("m", 0.3, 0.3)
+    unit, lo, hi = parse_spec("1 to 3 feet")
+    assert unit == "m" and abs(lo - 0.3048) < 1e-12 and abs(hi - 0.9144) < 1e-12
+    assert parse_spec("2 hours") == ("s", 7200.0, 7200.0)
+    with pytest.raises(ValueError):
+        parse_spec("three bananas")
+
+
+def test_spec_predicate_overlap(spark):
+    rows = spark.createDataFrame(
+        [("m", 0.1, 0.2), ("m", 0.25, 0.5), ("m", 1.0, 2.0), ("kg", 0.3, 0.3)],
+        "normalized_unit string, normalized_min double, normalized_max double")
+    got = rows.filter(spec_predicate("1 to 3 feet")).count()
+    # spec range [0.3048, 0.9144] m: overlaps [0.25,0.5] only
+    assert got == 1
+
+
+def test_scorers(spark, t_small_df):
+    from mimir_spark.ingest import ingest
+    from mimir_spark.operators import term_query
+    from mimir_spark.operators.terms import tokenize
+
+    turns = ingest(t_small_df)
+    hits = term_query(turns, "role", "assistant")
+    scores = count_scorer(hits).toPandas()
+    want = hits.toPandas().groupby("conv_id").size()
+    assert dict(zip(scores.conv_id, scores.score)) == want.to_dict()
+
+    bs = hits.withColumn("s", binding_scorer_col()).select("s").distinct().collect()
+    assert all(r["s"] == 1.0 for r in bs)  # len=1 < h=16
+
+    toks = tokenize(turns)
+    some_term = toks.groupBy("term").count().orderBy(F.desc("count")).first()["term"]
+    tfidf = tf_idf_scores(toks, some_term).toPandas()
+    assert (tfidf["score"] >= 0).all() and len(tfidf) > 0
+
+
+def test_render_hits(spark, t_small_df):
+    from mimir_spark.ingest import ingest
+    from mimir_spark.operators import sequence_query, term_query
+    from mimir_spark.operators.hits import render_hits
+
+    turns = ingest(t_small_df)
+    hits = sequence_query(term_query(turns, "role", "user"),
+                          term_query(turns, "role", "assistant"), 0, 0)
+    rendered = render_hits(turns, hits.limit(20), context=1).toPandas()
+    assert len(rendered) > 0
+    tpdf = turns.toPandas().set_index(["conv_id", "turn_idx"])
+    for r in rendered.itertuples(index=False):
+        lines = r.snippet.split("\n")
+        lo = max(r.pos - 1, 0)
+        expected_rows = [
+            (r.conv_id, i) for i in range(lo, r.pos + r.len + 1)
+            if (r.conv_id, i) in tpdf.index
+        ]
+        assert len(lines) == len(expected_rows)
+        for line, key in zip(lines, expected_rows):
+            row = tpdf.loc[key]
+            assert line == f"{row.role}: {row.text}"
