@@ -279,6 +279,41 @@ def q_users_view_no_purchase(spark, sf_dir):
     return viewers.join(buyers, "user_id", "left_anti")
 
 
+def q_rollup_events_1d(spark, sf_dir):
+    return _rollup_events(spark, sf_dir, "day")
+
+
+def q_running_total_by_user(spark, sf_dir):
+    """Window running sum (decimal-exact cumulative aggregate)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+def q_distinct_users_per_type(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_users"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def q_part_type_facet(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        part.groupBy("p_type")
+        .agg(F.count("*").alias("n_parts"),
+             F.sum(F.col("p_retailprice").cast(DEC)).cast("double").alias("sum_price"),
+             F.min("p_size").alias("min_size"),
+             F.max("p_size").alias("max_size"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational coverage (lineitem/orders/customer/part)
 # ---------------------------------------------------------------------------
@@ -660,6 +695,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series rollup surface
         "rollup_events_1m": q_rollup_events_1m,
         "rollup_events_1h_cascade": q_rollup_events_1h_cascade,
+        "rollup_events_1d": q_rollup_events_1d,
+        "running_total_by_user": q_running_total_by_user,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "part_type_facet": q_part_type_facet,
         "gapfill_locf_events_1h": q_gapfill_locf_events_1h,
         "gapfill_linear_events_1h": q_gapfill_linear_events_1h,
         "sessionize_events": q_sessionize_events,
@@ -695,6 +734,26 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rollup_events_1m": _ROLLUP_ORACLE.format(trunc="minute"),
         "rollup_events_1h_cascade": _ROLLUP_ORACLE.format(trunc="hour"),
+        "rollup_events_1d": _ROLLUP_ORACLE.format(trunc="day"),
+        "running_total_by_user": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     AS running_total
+            FROM events
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "part_type_facet": """
+            SELECT p_type, count(*) AS n_parts,
+                   CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   min(p_size) AS min_size, max(p_size) AS max_size
+            FROM part GROUP BY p_type
+        """,
         "gapfill_locf_events_1h": _GAPFILL_LOCF_ORACLE,
         "gapfill_linear_events_1h": _GAPFILL_LINEAR_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,

@@ -88,7 +88,23 @@ def narrow_turns(df: DataFrame) -> DataFrame:
     )
 
 
-def turn_metrics(df: DataFrame) -> DataFrame:
+def metric_entry(kind, key, metric, v):
+    """Build one series-extractor entry (kind, series_key, metric, v).
+
+    The pluggable extension surface (SemanticAnnotationHelper
+    analogue, SemanticAnnotationHelper.java:48-177): an extractor is
+    any Column-level function of the turn row producing such a struct;
+    pass extras to ``turn_metrics(extractors=[...])``. Column
+    expressions keep custom extractors inside codegen — the
+    'vectorized only, no per-row Python' contract of the input_hint.
+    """
+    return F.struct(
+        kind.alias("kind"), key.alias("series_key"),
+        metric.alias("metric"), v.cast("double").alias("v"),
+    )
+
+
+def turn_metrics(df: DataFrame, extractors: list | None = None) -> DataFrame:
     """Explode each turn into its (series, point) rows.
 
     Per turn:
@@ -103,12 +119,9 @@ def turn_metrics(df: DataFrame) -> DataFrame:
     regex tokenizer runs exactly once per turn.
     """
     tok = (F.col("n_tok") if "n_tok" in df.columns else token_count_col()).cast("double")
-    entry = lambda kind, key, metric, v: F.struct(  # noqa: E731
-        kind.alias("kind"), key.alias("series_key"),
-        metric.alias("metric"), v.alias("v"),
-    )
+    entry = metric_entry
     conv = F.col("conv_id")
-    entries = F.array(
+    base = [
         entry(F.lit("conv"), conv, F.lit("turn_rate"), F.lit(1.0)),
         entry(F.lit("conv"), conv, F.lit("token_volume"), tok),
         entry(F.lit("conv"), conv, F.concat(F.lit("role_mix_"), F.col("role")), F.lit(1.0)),
@@ -116,7 +129,10 @@ def turn_metrics(df: DataFrame) -> DataFrame:
               F.when(F.col("tool").isNotNull(), F.lit(1.0))),
         entry(F.lit("tool"), F.col("tool"), F.lit("token_volume"),
               F.when(F.col("tool").isNotNull(), tok)),
-    )
+    ]
+    for ex in extractors or []:
+        base.append(ex(df) if callable(ex) else ex)
+    entries = F.array(*base)
     return (
         df.select(F.explode(entries).alias("e"), "ts", "conv_id", "turn_idx")
         .filter(F.col("e.v").isNotNull() & F.col("e.series_key").isNotNull())

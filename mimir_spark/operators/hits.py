@@ -68,6 +68,31 @@ def annotation_query(turns: DataFrame,
     )
 
 
+def conversation_stats(turns: DataFrame) -> DataFrame:
+    """Conversation-level attribute frame for document-mode queries:
+    the virtual whole-document annotation of the reference
+    (SemanticAnnotationHelper.java:53-70 DOCUMENT mode)."""
+    return turns.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool_turns"),
+        F.count_distinct("tool").alias("n_distinct_tools"),
+    )
+
+
+def document_query(turns: DataFrame, predicate) -> DataFrame:
+    """{Document attr op val}: conversations whose stats satisfy the
+    predicate, as whole-conversation hits (pos=0, len=n_turns) — length
+    = document size (AnnotationQuery.java:136-138)."""
+    return (
+        conversation_stats(turns)
+        .filter(predicate)
+        .select("conv_id", F.lit(0).alias("pos"),
+                F.col("n_turns").cast("int").alias("len"))
+    )
+
+
 def const_restrict(hits: DataFrame, conv_ids: DataFrame) -> DataFrame:
     """ConstQuery: restrict hits to a fixed conversation set via a
     broadcast semi-join (ConstQuery.java:32-70)."""

@@ -1,0 +1,76 @@
+"""Document-mode queries, tombstone overlay, tier expiry, pluggable
+series extractors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimir_spark.ingest import ingest, metric_entry, turn_metrics
+from mimir_spark.operators.hits import conversation_stats, document_query
+from mimir_spark.retention import apply_tombstones, delete_conversations, expire_buckets
+from mimir_spark.rollup import rollup_points
+
+
+@pytest.fixture(scope="module")
+def turns(spark, t_small_df):
+    df = ingest(t_small_df).cache()
+    df.count()
+    return df
+
+
+def test_document_query_shrinks_and_spans(turns):
+    hits = document_query(turns, F.col("n_tool_turns") >= 3).toPandas()
+    stats = conversation_stats(turns).toPandas()
+    want = stats[stats.n_tool_turns >= 3]
+    assert set(hits.conv_id) == set(want.conv_id)
+    assert 0 < len(hits) < len(stats)  # strictly shrinks (TestQueries:450-470)
+    merged = hits.merge(stats, on="conv_id")
+    assert (merged["len"] == merged["n_turns"]).all()
+    assert (merged["pos"] == 0).all()
+
+
+def test_tombstone_overlay(spark, turns):
+    empty = spark.createDataFrame([], "conv_id string")
+    stones = delete_conversations(empty, ["conv-00000003", "conv-00000007"])
+    filtered = apply_tombstones(turns, stones)
+    got = {r["conv_id"] for r in filtered.select("conv_id").distinct().collect()}
+    assert "conv-00000003" not in got and "conv-00000007" not in got
+    assert filtered.count() == turns.filter(
+        ~F.col("conv_id").isin("conv-00000003", "conv-00000007")).count()
+    # idempotent re-delete
+    stones2 = delete_conversations(stones, ["conv-00000003"])
+    assert stones2.count() == 2
+
+
+def test_expire_buckets(spark, turns):
+    rolled = rollup_points(turn_metrics(turns), tiers=("1h", "1d")).cache()
+    cut = rolled.filter("tier='1h'").agg(
+        F.expr("percentile_approx(cast(bucket_ts as double), 0.5)")).collect()[0][0]
+    import datetime
+    cutoff = datetime.datetime.utcfromtimestamp(cut).strftime("%Y-%m-%d %H:%M:%S")
+    kept = expire_buckets(rolled, {"1h": cutoff})
+    pdf = kept.toPandas()
+    h1 = pdf[pdf.tier == "1h"]
+    assert (h1["bucket_ts"] >= cutoff).all()
+    # untouched tier keeps everything
+    assert len(pdf[pdf.tier == "1d"]) == rolled.filter("tier='1d'").count()
+    rolled.unpersist()
+
+
+def test_custom_series_extractor(turns):
+    """A user-supplied extractor rides the same explode — e.g. a
+    per-role token-volume family."""
+    extra = lambda df: metric_entry(  # noqa: E731
+        F.lit("role"), F.col("role"), F.lit("token_volume"),
+        F.col("n_tok") if "n_tok" in df.columns else
+        F.lit(None),
+    )
+    from mimir_spark.ingest import narrow_turns, dedup_turns
+
+    narrow = dedup_turns(narrow_turns(turns).repartition("conv_id"))
+    points = turn_metrics(narrow, extractors=[extra])
+    kinds = {r["kind"] for r in points.select("kind").distinct().collect()}
+    assert kinds == {"conv", "tool", "role"}
+    role_pts = points.filter("kind = 'role'")
+    assert role_pts.count() == narrow.count()  # one per turn
