@@ -1,0 +1,74 @@
+"""spark-submit entry point for the resumable transcript rollup job.
+
+Usage (cluster):
+    cd repo && zip -r /tmp/mimir_spark.zip mimir_spark
+    spark-submit --py-files /tmp/mimir_spark.zip jobs/rollup_job.py \
+        --input  <transcripts table/path> \
+        --output <store root> \
+        --job-id nightly-2026-01-05 \
+        --partitions 256 --tiers 1m,1h,1d
+
+Local smoke:
+    python jobs/rollup_job.py --generate 1000 --output /tmp/rollup_store
+
+The job shards conversations by pmod(xxhash64(conv_id), P), commits
+tier output + a lineage row per shard, and resumes from lineage on
+restart — kill it mid-run and re-submit to continue.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+# local runs from any cwd; under spark-submit --py-files the zip on the
+# PYTHONPATH wins and this is a no-op
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts parquet path / Iceberg identifier")
+    ap.add_argument("--generate", type=int, default=0,
+                    help="generate a deterministic corpus of N conversations instead of --input")
+    ap.add_argument("--output", required=True, help="tier store root")
+    ap.add_argument("--job-id", default="rollup-job")
+    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--tiers", default="1m,1h,1d")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    if not args.input and not args.generate:
+        ap.error("one of --input / --generate is required")
+
+    from mimir_spark.lineage import TieredStore, run_rollup_job
+    from mimir_spark.session import get_spark
+    from mimir_spark.sources.tables import read_table
+
+    spark = get_spark("rollup-job", cpus=args.cpus)
+
+    if args.generate:
+        from mimir_spark.fixtures import transcripts_df
+
+        def source():
+            return transcripts_df(spark, args.generate)
+    else:
+        def source():
+            return read_table(spark, args.input)
+
+    store = TieredStore(args.output)
+    rows = run_rollup_job(
+        spark, source, store, args.job_id,
+        num_partitions=args.partitions,
+        tiers=tuple(args.tiers.split(",")),
+    )
+    for r in rows:
+        print(f"partition={r['partition_id']} rows_in={r['rows_in']} "
+              f"points_out={r['points_out']} bytes={r['bytes_compressed']}")
+    print(f"done: {len(rows)} partitions this run "
+          f"({args.partitions} total, rest were already committed)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -124,29 +124,35 @@ def pack_bits(values: np.ndarray, nbits: np.ndarray) -> np.ndarray:
 
 
 class BitReader:
-    """Sequential MSB-first reader over a byte buffer."""
+    """Sequential MSB-first reader over a byte buffer.
 
-    __slots__ = ("bits", "pos")
+    Fields are extracted with byte-window integer arithmetic (a field
+    of <= 64 bits spans <= 9 bytes), not per-bit loops."""
+
+    __slots__ = ("buf", "pos", "nbits")
 
     def __init__(self, buf: bytes | np.ndarray, nbits: int):
-        arr = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
-        self.bits = np.unpackbits(arr)[:nbits]
+        self.buf = bytes(buf) if not isinstance(buf, bytes) else buf
+        self.nbits = nbits
         self.pos = 0
 
     def read(self, n: int) -> int:
-        b = self.bits[self.pos : self.pos + n]
-        if len(b) != n:
+        pos = self.pos
+        end = pos + n
+        if end > self.nbits:
             raise ValueError("bitstream underflow")
-        self.pos += n
-        val = 0
-        for bit in b.tolist():
-            val = (val << 1) | bit
-        return val
+        b0 = pos >> 3
+        b1 = (end + 7) >> 3
+        window = int.from_bytes(self.buf[b0:b1], "big")
+        self.pos = end
+        return (window >> ((b1 << 3) - end)) & ((1 << n) - 1)
 
     def read_bit(self) -> int:
-        bit = int(self.bits[self.pos])
-        self.pos += 1
-        return bit
+        pos = self.pos
+        if pos >= self.nbits:
+            raise ValueError("bitstream underflow")
+        self.pos = pos + 1
+        return (self.buf[pos >> 3] >> (7 - (pos & 7))) & 1
 
 
 # ---------------------------------------------------------------------------
