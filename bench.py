@@ -31,6 +31,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4"))
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "400000"))
+# scaling runs take min-of-N (steady-state estimate: this sandbox has
+# multi-second scheduling noise; min is the standard low-noise statistic)
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 HEADLINE = [
     "rollup_events_1m",
@@ -89,9 +92,12 @@ def _rollup_run(spark, corpus_path: str, warmup: bool = True) -> float:
         # small slice before the timed run
         tiny = src.filter("conv_id like '%000'")
         _materialize(rollup_transcripts(tiny))
-    t0 = time.monotonic()
-    _materialize(rollup_transcripts(src))
-    return time.monotonic() - t0
+    best = float("inf")
+    for _ in range(max(REPEATS, 1)):
+        t0 = time.monotonic()
+        _materialize(rollup_transcripts(src))
+        best = min(best, time.monotonic() - t0)
+    return best
 
 
 def main() -> None:
