@@ -444,6 +444,34 @@ HAVING count(DISTINCT doc_id) = 5
 # training-data pipeline ops over documents/embeddings
 # ---------------------------------------------------------------------------
 
+def q_cube_returnflag_status(spark, sf_dir):
+    """CUBE grouping over lineitem (engine addition beyond the
+    reference, which has no grouping sets — SURVEY.md §2.4 note)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+    )
+
+
+def q_documents_or_terms(spark, sf_dir):
+    toks = TERMS.tokenize(_docs(spark, sf_dir), id_col="doc_id")
+    return TERMS.documents_or_terms(toks, [0, 1, 2, 3, 4])
+
+
+_OR_TERMS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENIZE}
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0 AND doc_id IN (0,1,2,3,4)
+)
+SELECT term, count(*) AS count
+FROM toks WHERE length(term) > 0
+GROUP BY term
+"""
+
+
 def q_lang_id_counts(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -713,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # terms algebra
         "terms_topk_documents": q_terms_topk_documents,
         "documents_and_terms": q_documents_and_terms,
+        "documents_or_terms": q_documents_or_terms,
+        "cube_returnflag_status": q_cube_returnflag_status,
         # training-data pipeline
         "lang_id_counts": q_lang_id_counts,
         "token_stats": q_token_stats,
@@ -790,6 +820,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "terms_topk_documents": _TERMS_TOPK_ORACLE,
         "documents_and_terms": _AND_TERMS_ORACLE,
+        "documents_or_terms": _OR_TERMS_ORACLE,
+        "cube_returnflag_status": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
         "lang_id_counts": _LANG_ORACLE,
         "token_stats": _TOKEN_STATS_ORACLE,
         "quality_scores": _QUALITY_ORACLE,
