@@ -16,7 +16,12 @@ Determinism rules shared by both sides:
 
 from __future__ import annotations
 
+import pathlib
+import sys
 from collections.abc import Callable
+
+# make mimir_spark importable regardless of the harness's cwd
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
