@@ -40,13 +40,20 @@ def dedup_turns(df: DataFrame) -> DataFrame:
     a plan already hash-partitioned by conv_id needs NO extra shuffle —
     one data movement serves dedup, ordering, and conv-series rollup.
     """
-    tb = F.md5("text") if "text" in df.columns else F.col("n_tok")
+    # canonical survivor spec: min by (ts, role, tool, n_tok, md5(text)).
+    # The narrow path has no text column; its residual ambiguity
+    # (same ts/role/tool/n_tok, different text) is metric-invariant,
+    # so rollups still match the full spec exactly.
+    if "text" in df.columns:
+        tb = [token_count_col().asc(), F.md5("text").asc_nulls_last()]
+    else:
+        tb = [F.col("n_tok").asc()]
     w = Window.partitionBy("conv_id").orderBy(
         F.col("turn_idx").asc(),
         F.col("ts").asc_nulls_last(),
         F.col("role").asc_nulls_last(),
         F.col("tool").asc_nulls_last(),
-        tb.asc_nulls_last(),
+        *tb,
     )
     prev = F.lag("turn_idx", 1).over(w)
     return (

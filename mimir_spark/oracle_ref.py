@@ -27,22 +27,24 @@ def token_count(text) -> int:
 
 
 def dedup_turns(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One row per (conv_id, turn_idx): min by (ts, role, tool,
-    md5(text)) — md5 as tie-break so the engine never has to shuffle
-    document text just to resolve colliding turn ids."""
+    """One row per (conv_id, turn_idx): min by (ts, role, tool, n_tok,
+    md5(text)) — the canonical survivor spec. n_tok before the hash so
+    the engine's narrow path (which sees only n_tok) picks a
+    metric-equivalent survivor."""
     import hashlib
 
     key_cols = ["conv_id", "turn_idx"]
     out = pdf.assign(
+        _ntok=pdf["text"].map(token_count),
         _tb=pdf["text"].map(
             lambda t: None if t is None else hashlib.md5(t.encode()).hexdigest()
-        )
+        ),
     )
-    sort_cols = key_cols + ["ts", "role", "tool", "_tb"]
+    sort_cols = key_cols + ["ts", "role", "tool", "_ntok", "_tb"]
     out = out.sort_values(sort_cols, na_position="last", kind="mergesort")
     return (
         out.drop_duplicates(key_cols, keep="first")
-        .drop(columns=["_tb"]).reset_index(drop=True)
+        .drop(columns=["_ntok", "_tb"]).reset_index(drop=True)
     )
 
 
