@@ -442,6 +442,32 @@ def chunk_n_points(buf: bytes) -> int:
     return _HEADER.unpack_from(buf, 0)[2]
 
 
+def chunk_byte_len(buf: bytes, offset: int = 0) -> int:
+    """Total byte length of the chunk starting at ``offset`` (header
+    carries both bitstream lengths, so chunks are self-delimiting)."""
+    _, _, _, ts_nbits, val_nbits = _HEADER.unpack_from(buf, offset)
+    return HEADER_LEN + (ts_nbits + 7) // 8 + (val_nbits + 7) // 8
+
+
+def decode_all(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a buffer of one or more concatenated chunks (the
+    ``max_points`` sub-chunk container: a giant (series, bucket) group
+    is stored as back-to-back chunks so no single encode/decode call
+    ever materializes an unbounded point array)."""
+    off = 0
+    ts_parts, val_parts = [], []
+    n = len(buf)
+    while off < n:
+        step = chunk_byte_len(buf, off)
+        t, v = decode_chunk(buf[off:off + step])
+        ts_parts.append(t)
+        val_parts.append(v)
+        off += step
+    if len(ts_parts) == 1:
+        return ts_parts[0], val_parts[0]
+    return np.concatenate(ts_parts), np.concatenate(val_parts)
+
+
 def merge_chunks(chunks: list[bytes]) -> bytes:
     """Merge chunks into one: decode, concatenate in order, re-encode.
 
@@ -451,7 +477,7 @@ def merge_chunks(chunks: list[bytes]) -> bytes:
     """
     ts_parts, val_parts = [], []
     for c in chunks:
-        t, v = decode_chunk(c)
+        t, v = decode_all(bytes(c))
         ts_parts.append(t)
         val_parts.append(v)
     return encode_chunk(np.concatenate(ts_parts), np.concatenate(val_parts))

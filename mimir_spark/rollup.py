@@ -41,7 +41,33 @@ _SERIES_COLS = ["kind", "series_key", "metric"]
 # one-pass multi-tier rollup (the production path)
 # ---------------------------------------------------------------------------
 
-def _rollup_block(kind, key, metric, ts_us, v, tiers) -> pd.DataFrame:
+def _encode_group_chunks(ts_us, v, starts, max_points):
+    """Encode per-group chunks; groups above ``max_points`` become
+    concatenated self-delimiting sub-chunks (codec.decode_all reads
+    them back) so one hot (series, bucket) group never materializes an
+    unbounded array in the codec."""
+    if not max_points:
+        return codec.encode_many(ts_us, v, starts)
+    n = len(ts_us)
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+    nsub = np.maximum(1, -(-sizes // max_points))
+    total = int(nsub.sum())
+    if total == len(starts):
+        return codec.encode_many(ts_us, v, starts)
+    group_idx = np.repeat(np.arange(len(starts)), nsub)
+    k = np.arange(total) - np.repeat(np.cumsum(nsub) - nsub, nsub)
+    sub_starts = starts[group_idx] + k * max_points
+    chunks = codec.encode_many(ts_us, v, sub_starts)
+    out, pos = [], 0
+    for cnt in nsub.tolist():
+        out.append(b"".join(chunks[pos:pos + cnt]))
+        pos += cnt
+    return out
+
+
+def _rollup_block(kind, key, metric, ts_us, v, tiers,
+                  max_points=None) -> pd.DataFrame:
     """Vectorized rollup of a sorted block of complete day-groups."""
     n = len(ts_us)
     series_change = np.zeros(n, dtype=bool)
@@ -59,7 +85,7 @@ def _rollup_block(kind, key, metric, ts_us, v, tiers) -> pd.DataFrame:
             change[1:] |= bucket[1:] != bucket[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
-        chunks = codec.encode_many(ts_us, v, starts)
+        chunks = _encode_group_chunks(ts_us, v, starts, max_points)
         frames.append(pd.DataFrame({
             "tier": tier,
             "kind": kind[starts],
@@ -76,7 +102,7 @@ def _rollup_block(kind, key, metric, ts_us, v, tiers) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
-def _make_rollup_fn(tiers):
+def _make_rollup_fn(tiers, max_points=None):
     coarsest = TIER_US[tiers[-1]]
 
     def process(iterator):
@@ -102,7 +128,7 @@ def _make_rollup_fn(tiers):
                 cut = int(cuts[-1])
                 v = buf["v"].to_numpy(dtype=np.float64)
                 yield _rollup_block(kind[:cut], key[:cut], metric[:cut],
-                                    ts_us[:cut], v[:cut], tiers)
+                                    ts_us[:cut], v[:cut], tiers, max_points)
                 buf = buf.iloc[cut:].reset_index(drop=True)
         if buf is not None and len(buf):
             kind = buf["kind"].to_numpy()
@@ -110,13 +136,14 @@ def _make_rollup_fn(tiers):
             metric = buf["metric"].to_numpy()
             ts_us = buf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
             v = buf["v"].to_numpy(dtype=np.float64)
-            yield _rollup_block(kind, key, metric, ts_us, v, tiers)
+            yield _rollup_block(kind, key, metric, ts_us, v, tiers, max_points)
 
     return process
 
 
 def rollup_points(points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
-                  num_partitions: int | None = None) -> DataFrame:
+                  num_partitions: int | None = None,
+                  max_points: int | None = None) -> DataFrame:
     """points (kind, series_key, metric, ts, conv_id, turn_idx, v) ->
     one row per (tier, series, bucket) with aggregates + chunk.
 
@@ -132,7 +159,7 @@ def rollup_points(points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d")
         points.repartition(*(([num_partitions] if num_partitions else []) + part_cols))
         .sortWithinPartitions(*_SERIES_COLS, "ts", "conv_id", "turn_idx")
     )
-    return shuffled.mapInPandas(_make_rollup_fn(tiers), ROLLUP_SCHEMA)
+    return shuffled.mapInPandas(_make_rollup_fn(tiers, max_points), ROLLUP_SCHEMA)
 
 
 # closed metric vocabulary of the transcript pipeline: shipped to the
@@ -168,7 +195,8 @@ def _conv_points_fast(turns: DataFrame) -> DataFrame:
     )
 
 
-def _rollup_block_fast(key, metric_id, ts_us, v, tiers, kind: str) -> pd.DataFrame:
+def _rollup_block_fast(key, metric_id, ts_us, v, tiers, kind: str,
+                       max_points=None) -> pd.DataFrame:
     n = len(ts_us)
     series_change = np.zeros(n, dtype=bool)
     series_change[0] = True
@@ -183,7 +211,7 @@ def _rollup_block_fast(key, metric_id, ts_us, v, tiers, kind: str) -> pd.DataFra
             change[1:] |= bucket[1:] != bucket[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
-        chunks = codec.encode_many(ts_us, v, starts)
+        chunks = _encode_group_chunks(ts_us, v, starts, max_points)
         frames.append(pd.DataFrame({
             "tier": tier,
             "kind": kind,
@@ -200,7 +228,7 @@ def _rollup_block_fast(key, metric_id, ts_us, v, tiers, kind: str) -> pd.DataFra
     return pd.concat(frames, ignore_index=True)
 
 
-def _make_rollup_fast_fn(tiers, kind: str):
+def _make_rollup_fast_fn(tiers, kind: str, max_points=None):
     coarsest = TIER_US[tiers[-1]]
 
     def process(iterator):
@@ -223,20 +251,21 @@ def _make_rollup_fast_fn(tiers, kind: str):
                 cut = int(cuts[-1])
                 v = buf["v"].to_numpy(dtype=np.float64)
                 yield _rollup_block_fast(key[:cut], mid[:cut], ts_us[:cut],
-                                         v[:cut], tiers, kind)
+                                         v[:cut], tiers, kind, max_points)
                 buf = buf.iloc[cut:].reset_index(drop=True)
         if buf is not None and len(buf):
             yield _rollup_block_fast(
                 buf["series_key"].to_numpy(), buf["metric_id"].to_numpy(),
                 buf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
-                buf["v"].to_numpy(dtype=np.float64), tiers, kind)
+                buf["v"].to_numpy(dtype=np.float64), tiers, kind, max_points)
 
     return process
 
 
 def rollup_transcripts(transcripts: DataFrame,
                        tiers: tuple[str, ...] = ("1m", "1h", "1d"),
-                       num_partitions: int | None = None) -> DataFrame:
+                       num_partitions: int | None = None,
+                       max_points: int | None = None) -> DataFrame:
     """End-to-end transcript rollup tuned for scale (the bench path).
 
     Plan shape (ONE wide shuffle total for ~88% of the data):
@@ -264,10 +293,11 @@ def rollup_transcripts(transcripts: DataFrame,
         _conv_points_fast(turns)
         .sortWithinPartitions("series_key", "metric_id", "ts", "turn_idx")
         .select("series_key", "metric_id", "ts", "v")
-        .mapInPandas(_make_rollup_fast_fn(tiers, kind="conv"), ROLLUP_SCHEMA)
+        .mapInPandas(_make_rollup_fast_fn(tiers, kind="conv", max_points=max_points),
+                     ROLLUP_SCHEMA)
     )
     tool_points = turn_metrics(turns).filter(F.col("kind") == "tool")
-    tool = rollup_points(tool_points, tiers=tiers)
+    tool = rollup_points(tool_points, tiers=tiers, max_points=max_points)
     return conv.unionByName(tool)
 
 

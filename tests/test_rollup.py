@@ -137,3 +137,24 @@ def test_rollup_transcripts_fast_path_equivalent(spark, t_small_df, spark_rollup
     pd.testing.assert_frame_equal(got[KEY + AGGS], want[KEY + AGGS],
                                   check_dtype=False)
     assert all(bytes(x) == bytes(y) for x, y in zip(got["chunk"], want["chunk"]))
+
+
+def test_max_points_subchunk_split(spark, t_small_df, spark_rollup):
+    """Chunk split for giant groups: same aggregates, decode_all of the
+    sub-chunk container equals the uncapped decode."""
+    from mimir_spark.rollup import rollup_transcripts
+
+    capped = _norm(rollup_transcripts(t_small_df, max_points=4).toPandas())
+    want = _norm(pd.DataFrame(spark_rollup))
+    pd.testing.assert_frame_equal(capped[KEY + AGGS], want[KEY + AGGS],
+                                  check_dtype=False)
+    split_seen = False
+    for c, w, cnt in zip(capped["chunk"], want["chunk"], capped["cnt"]):
+        ct, cv = codec.decode_all(bytes(c))
+        wt, wv = codec.decode_chunk(bytes(w))
+        assert np.array_equal(ct, wt)
+        assert np.array_equal(cv.view(np.uint64), wv.view(np.uint64))
+        if cnt > 4:
+            split_seen = True
+            assert codec.chunk_n_points(bytes(c)) <= 4
+    assert split_seen
