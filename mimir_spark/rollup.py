@@ -141,6 +141,12 @@ def _make_rollup_fn(tiers, max_points=None):
     return process
 
 
+def _check_tiers(tiers):
+    bad = [t for t in tiers if t not in TIER_US]
+    if bad:
+        raise ValueError(f"unknown tier(s) {bad}; valid tiers: {sorted(TIER_US)}")
+
+
 def rollup_points(points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
                   num_partitions: int | None = None,
                   max_points: int | None = None) -> DataFrame:
@@ -151,6 +157,7 @@ def rollup_points(points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d")
     output group lives wholly in one partition while spreading a hot
     series across time — the explicit skew-split of SURVEY.md §4.3.
     """
+    _check_tiers(tiers)
     tiers = tuple(sorted(tiers, key=lambda t: TIER_US[t]))
     part_cols = [F.col(c) for c in _SERIES_COLS] + [
         F.date_trunc(TIER_TRUNC[tiers[-1]], F.col("ts"))
@@ -284,6 +291,7 @@ def rollup_transcripts(transcripts: DataFrame,
     """
     from .ingest import dedup_turns, narrow_turns, turn_metrics
 
+    _check_tiers(tiers)
     tiers = tuple(sorted(tiers, key=lambda t: TIER_US[t]))
     narrow = narrow_turns(transcripts)
     narrow = (narrow.repartition(num_partitions, F.col("conv_id"))
