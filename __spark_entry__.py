@@ -270,8 +270,8 @@ WITH w AS (
   FROM events
 )
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' AND (n1 = 'purchase' OR n2 = 'purchase')
-                THEN 1 ELSE 0 END) AS n_pairs
+       CAST(sum(CASE WHEN event_type = 'click' AND (n1 = 'purchase' OR n2 = 'purchase')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
 FROM w GROUP BY user_id HAVING n_pairs > 0
 """
 

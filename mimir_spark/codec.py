@@ -468,16 +468,27 @@ def decode_all(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(ts_parts), np.concatenate(val_parts)
 
 
-def merge_chunks(chunks: list[bytes]) -> bytes:
+def merge_chunks(chunks: list[bytes], max_points: int | None = None) -> bytes:
     """Merge chunks into one: decode, concatenate in order, re-encode.
 
     Callers must pass chunks in ascending bucket order so the merged
     point stream stays time-ordered (the tier-cascade invariant:
     decode(merge(a, b)) == concat(decode(a), decode(b))).
+
+    ``max_points`` preserves the sub-chunk container on the compaction
+    path: a merged group larger than the bound is re-encoded as
+    back-to-back self-delimiting sub-chunks (decode_all reads them
+    back), so the memory bound of the one-pass writer also holds for
+    cascade/compaction output.
     """
     ts_parts, val_parts = [], []
     for c in chunks:
         t, v = decode_all(bytes(c))
         ts_parts.append(t)
         val_parts.append(v)
-    return encode_chunk(np.concatenate(ts_parts), np.concatenate(val_parts))
+    ts = np.concatenate(ts_parts)
+    vals = np.concatenate(val_parts)
+    if max_points and len(ts) > max_points:
+        starts = np.arange(0, len(ts), max_points, dtype=np.int64)
+        return b"".join(encode_many(ts, vals, starts))
+    return encode_chunk(ts, vals)

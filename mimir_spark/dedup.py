@@ -40,10 +40,15 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def shingles_col(text_col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles of the normalized text."""
+    """Distinct word n-gram shingles of the normalized text.
+
+    Docs with fewer than ``n`` tokens yield an empty array: the index
+    list must be guarded because Spark's ``sequence(1, stop)`` DESCENDS
+    when stop < 1 ([1, 0]) and slice(toks, 0, n) then throws."""
     toks = tokens_col(text_col)
     cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(0)))
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)) \
+        .otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(grams)
 

@@ -23,16 +23,25 @@ def binding_scorer_col(len_col: str = "len", h: int = 16,
 
 
 def tf_idf_scores(tokens: DataFrame, term: str) -> DataFrame:
-    """TfIdfScorer over the token table: score(doc) = tf * ln(N/df)."""
-    n_docs = tokens.select("doc_id").distinct().count()
-    hits = tokens.filter(F.col("term") == term)
-    df_count = hits.select("doc_id").distinct().count()
-    if df_count == 0:
-        return hits.select("doc_id", F.lit(0.0).alias("score")).limit(0)
-    idf = float(__import__("math").log(n_docs / df_count))
+    """TfIdfScorer over the token table: score(doc) = tf * ln(N/df).
+
+    Single logical plan, zero driver-side actions: corpus stats (N, df)
+    come from one aggregation crossJoined back as a broadcast 1-row
+    frame, so the whole scorer is one job when evaluated."""
+    stats = tokens.agg(
+        F.count_distinct("doc_id").alias("_n_docs"),
+        F.count_distinct(
+            F.when(F.col("term") == term, F.col("doc_id"))).alias("_df"),
+    )
+    tf = (tokens.filter(F.col("term") == term)
+          .groupBy("doc_id").agg(F.count("*").alias("_tf")))
     return (
-        hits.groupBy("doc_id")
-        .agg((F.count("*") * F.lit(idf)).alias("score"))
+        tf.crossJoin(F.broadcast(stats))
+        .filter(F.col("_df") > 0)
+        .select(
+            "doc_id",
+            (F.col("_tf") * F.log(F.col("_n_docs") / F.col("_df"))).alias("score"),
+        )
     )
 
 

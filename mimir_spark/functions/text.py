@@ -94,7 +94,10 @@ def rolling_hashes(text_col: str = "text", window: int = 8) -> Column:
     is the caller's aggregation)."""
     toks = tokens_col(text_col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
+    # guard: sequence(1, stop) DESCENDS when stop < 1, and slice(toks, 0,
+    # w) then throws — short docs must yield an empty gram list instead
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)) \
+        .otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window)))
     )

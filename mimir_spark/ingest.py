@@ -128,10 +128,19 @@ def turn_metrics(df: DataFrame, extractors: list | None = None) -> DataFrame:
     tok = (F.col("n_tok") if "n_tok" in df.columns else token_count_col()).cast("double")
     entry = metric_entry
     conv = F.col("conv_id")
+    # closed role vocabulary + catch-all: unknown roles roll up under
+    # role_mix_other (keeps the fast int8-coded path equivalent); null
+    # roles emit no role_mix point (v null -> filtered)
+    role_name = (
+        F.when(F.col("role").isin("user", "assistant", "tool"),
+               F.concat(F.lit("role_mix_"), F.col("role")))
+        .otherwise(F.lit("role_mix_other"))
+    )
     base = [
         entry(F.lit("conv"), conv, F.lit("turn_rate"), F.lit(1.0)),
         entry(F.lit("conv"), conv, F.lit("token_volume"), tok),
-        entry(F.lit("conv"), conv, F.concat(F.lit("role_mix_"), F.col("role")), F.lit(1.0)),
+        entry(F.lit("conv"), conv, role_name,
+              F.when(F.col("role").isNotNull(), F.lit(1.0))),
         entry(F.lit("tool"), F.col("tool"), F.lit("turn_rate"),
               F.when(F.col("tool").isNotNull(), F.lit(1.0))),
         entry(F.lit("tool"), F.col("tool"), F.lit("token_volume"),

@@ -69,7 +69,10 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str = "ts",
     (by, bucket) — partition-prunable when right is stored bucketed."""
     bucket = lambda c: (F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
                         / (tolerance_sec * 1_000_000)).cast("long")
-    l = left.withColumn("_b", bucket(on)).alias("l")
+    # tag each left row with a unique id BEFORE the probe explode so two
+    # left rows identical in every column still yield two output rows
+    l = (left.withColumn("_lid", F.monotonically_increasing_id())
+         .withColumn("_b", bucket(on)).alias("l"))
     r = (right.select(F.col(by), F.col(on).alias("_rts"),
                       F.col(value_col).alias(f"{value_col}{suffix}"))
          .withColumn("_rb", bucket("_rts")).alias("r"))
@@ -81,8 +84,7 @@ def asof_join_bucketed(left: DataFrame, right: DataFrame, on: str = "ts",
         & (F.col("_rts") >= F.col(f"l.{on}") - F.expr(f"INTERVAL {tolerance_sec} SECONDS")),
         "left",
     )
-    w = Window.partitionBy(*[f"l.{c}" for c in left.columns]).orderBy(
-        F.col("_rts").desc_nulls_last())
+    w = Window.partitionBy(F.col("l._lid")).orderBy(F.col("_rts").desc_nulls_last())
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -51,12 +51,15 @@ def dedup_turns(pdf: pd.DataFrame) -> pd.DataFrame:
 def turn_metrics(pdf: pd.DataFrame) -> pd.DataFrame:
     """Row-per-(series, point) explode — same rules as ingest.turn_metrics."""
     rows = []
+    known_roles = {"user", "assistant", "tool"}
     for r in pdf.itertuples(index=False):
         tok = float(token_count(r.text))
         base = (r.ts, r.conv_id, r.turn_idx)
         rows.append(("conv", r.conv_id, "turn_rate", *base, 1.0))
         rows.append(("conv", r.conv_id, "token_volume", *base, tok))
-        rows.append(("conv", r.conv_id, f"role_mix_{r.role}", *base, 1.0))
+        if r.role is not None and not (isinstance(r.role, float) and np.isnan(r.role)):
+            rm = f"role_mix_{r.role}" if r.role in known_roles else "role_mix_other"
+            rows.append(("conv", r.conv_id, rm, *base, 1.0))
         if r.tool is not None and not (isinstance(r.tool, float) and np.isnan(r.tool)):
             rows.append(("tool", r.tool, "turn_rate", *base, 1.0))
             rows.append(("tool", r.tool, "token_volume", *base, tok))

@@ -173,7 +173,8 @@ def rollup_points(points: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d")
 # Arrow pass as int8 codes so boundary detection is integer compares,
 # not 30M python string comparisons
 METRICS = ["turn_rate", "token_volume",
-           "role_mix_user", "role_mix_assistant", "role_mix_tool"]
+           "role_mix_user", "role_mix_assistant", "role_mix_tool",
+           "role_mix_other"]
 _METRIC_ARR = np.array(METRICS)
 
 
@@ -181,10 +182,13 @@ def _conv_points_fast(turns: DataFrame) -> DataFrame:
     """conv-kind metric explode with int8 metric codes
     (series_key == conv_id; kind implied)."""
     tok = F.col("n_tok").cast("double")
+    # out-of-vocabulary roles map to the role_mix_other catch-all (same
+    # as turn_metrics); null roles emit no role_mix point on either path
     role_metric = (
         F.when(F.col("role") == "user", F.lit(2))
         .when(F.col("role") == "assistant", F.lit(3))
         .when(F.col("role") == "tool", F.lit(4))
+        .when(F.col("role").isNotNull(), F.lit(5))
     )
     entry = lambda mid, v: F.struct(  # noqa: E731
         mid.cast("int").alias("metric_id"), v.alias("v"))
@@ -366,24 +370,30 @@ def rollup_aggs(points: DataFrame, tier: str,
 # tier cascade (compact analogue + differential check of the one-pass path)
 # ---------------------------------------------------------------------------
 
-def _merge_chunks_udf():
+def _merge_chunks_udf(max_points: int | None = None):
     # built lazily: pandas_udf needs an active SparkSession to parse
     # its return type
     @F.pandas_udf("binary")
     def merge_udf(chunk_lists: pd.Series) -> pd.Series:
         def merge(lst):
-            return codec.merge_chunks([bytes(e["chunk"]) for e in lst])
+            return codec.merge_chunks([bytes(e["chunk"]) for e in lst],
+                                      max_points=max_points)
         return chunk_lists.map(merge)
 
     return merge_udf
 
 
-def cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
+def cascade(rollup_df: DataFrame, to_tier: str,
+            max_points: int | None = None) -> DataFrame:
     """Re-aggregate a finer tier into ``to_tier`` (e.g. 1m -> 1h).
 
     Aggregates combine associatively; chunks merge in bucket order
     (sort_array on struct sorts by bucket_ts first), so
     decode(cascade chunk) == decode(direct-from-raw chunk).
+
+    ``max_points`` bounds the re-encoded chunk exactly like the one-pass
+    writer: merged groups above the bound become sub-chunk containers,
+    so compaction cannot materialize an unbounded array either.
     """
     bucket = F.date_trunc(TIER_TRUNC[to_tier], F.col("bucket_ts")).alias("bucket_ts")
     return (
@@ -398,7 +408,7 @@ def cascade(rollup_df: DataFrame, to_tier: str) -> DataFrame:
                 F.collect_list(F.struct(F.col("bucket_ts"), F.col("chunk")))
             ).alias("_chunks"),
         )
-        .withColumn("chunk", _merge_chunks_udf()(F.col("_chunks")))
+        .withColumn("chunk", _merge_chunks_udf(max_points)(F.col("_chunks")))
         .withColumn("tier", F.lit(to_tier))
         .select("tier", *_SERIES_COLS, "bucket_ts", "cnt", "sum_v",
                 "min_v", "max_v", "last_v", "chunk")

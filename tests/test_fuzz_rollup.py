@@ -22,7 +22,9 @@ from mimir_spark.rollup import rollup_points, rollup_transcripts
 KEY = ["tier", "kind", "series_key", "metric", "bucket_ts"]
 AGGS = ["cnt", "sum_v", "min_v", "max_v", "last_v"]
 
-ROLES = ["user", "assistant", "tool"]
+# includes an out-of-vocabulary role ("system" -> role_mix_other) and a
+# null role (no role_mix point) — both paths must agree on the catch-all
+ROLES = ["user", "assistant", "tool", "system", None]
 TOOLS = ["bash", "search", None]
 TEXTS = ["", "a", "a b", "a b c d", "x " * 50, "Thîs ís à teßt €12"]
 

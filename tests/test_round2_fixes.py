@@ -1,0 +1,111 @@
+"""Regression tests for the round-2 fixes: short-doc shingles, unknown
+roles, duplicate-left as-of probes, bounded cascade chunks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mimir_spark import codec, dedup
+from mimir_spark.functions import text as TX
+from mimir_spark.ingest import ingest, turn_metrics
+from mimir_spark.operators.joins import asof_join_bucketed
+from mimir_spark.rollup import cascade, rollup_points
+
+
+@pytest.fixture(scope="module")
+def short_docs(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5],
+        "text": ["", "one", "two tokens", "three token doc",
+                 "three token doc", "a much longer document with many tokens"],
+    })
+    return spark.createDataFrame(pdf, "doc_id long, text string")
+
+
+def test_short_doc_shingles_empty_not_crash(short_docs):
+    sh = dedup.doc_shingles(short_docs).toPandas()
+    # docs with < 3 tokens emit no shingles; longer docs do
+    assert set(sh[sh.doc_id.isin([0, 1, 2])].doc_id) == set()
+    assert (sh.doc_id >= 3).all() and len(sh) > 0
+
+
+def test_short_doc_jaccard_and_minhash_run(short_docs):
+    pairs = dedup.jaccard_pairs(short_docs, tau=0.5).toPandas()
+    assert {(3, 4)} == set(zip(pairs.doc_a, pairs.doc_b))
+    mh = dedup.minhash_lsh_pairs(short_docs).toPandas()
+    assert (3, 4) in set(zip(mh.doc_a, mh.doc_b))
+
+
+def test_rolling_hashes_short_doc(short_docs):
+    out = short_docs.select(
+        "doc_id", F.size(TX.rolling_hashes(window=4)).alias("n")).toPandas()
+    n = dict(zip(out.doc_id, out.n))
+    assert n[0] == 0 and n[1] == 0 and n[2] == 0 and n[3] == 0
+    assert n[5] == 7 - 4 + 1
+
+
+def test_unknown_role_rolls_up_as_other(spark):
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * 4,
+        "turn_idx": [0, 1, 2, 3],
+        "role": ["user", "system", "weird", None],
+        "text": ["hi", "boot", "x", "y"],
+        "tool": [None] * 4,
+        "ts": pd.to_datetime([1_700_000_000_000_000 + i * 1_000_000
+                              for i in range(4)], unit="us"),
+    })
+    df = spark.createDataFrame(
+        pdf, "conv_id string, turn_idx int, role string, text string, "
+             "tool string, ts timestamp")
+    rolled = rollup_points(turn_metrics(ingest(df)), tiers=("1d",)).toPandas()
+    role_rows = rolled[rolled.metric.str.startswith("role_mix")]
+    got = dict(zip(role_rows.metric, role_rows.cnt))
+    # system + weird -> other (2); null role -> no point
+    assert got == {"role_mix_user": 1, "role_mix_other": 2}
+    # fast path agrees
+    from mimir_spark.rollup import rollup_transcripts
+    fast = rollup_transcripts(df, tiers=("1d",)).toPandas()
+    fr = fast[fast.metric.str.startswith("role_mix")]
+    assert dict(zip(fr.metric, fr.cnt)) == got
+
+
+def test_asof_bucketed_keeps_duplicate_left_rows(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({
+            "key": ["a", "a"],
+            "ts": pd.to_datetime([5_000_000, 5_000_000], unit="us"),
+        }), "key string, ts timestamp")
+    right = spark.createDataFrame(
+        pd.DataFrame({
+            "key": ["a"],
+            "ts": pd.to_datetime([1_000_000], unit="us"),
+            "value": [42.0],
+        }), "key string, ts timestamp, value double")
+    out = asof_join_bucketed(left, right, on="ts", by="key",
+                             value_col="value", tolerance_sec=3600).toPandas()
+    assert len(out) == 2
+    assert (out["value_asof"] == 42.0).all()
+
+
+def test_cascade_max_points_bounds_subchunks(spark, t_small_df):
+    points = turn_metrics(ingest(t_small_df))
+    fine = rollup_points(points, tiers=("1m", "1d"))
+    direct = fine.filter("tier = '1d'").toPandas()
+    capped = cascade(fine.filter("tier = '1m'"), "1d", max_points=4).toPandas()
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    d = direct.sort_values(key, kind="mergesort").reset_index(drop=True)
+    c = capped.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(d) == len(c)
+    split_seen = False
+    for dc, cc, cnt in zip(d["chunk"], c["chunk"], c["cnt"]):
+        dt, dv = codec.decode_all(bytes(dc))
+        ct, cv = codec.decode_all(bytes(cc))
+        assert np.array_equal(dt, ct)
+        assert np.array_equal(dv.view(np.uint64), cv.view(np.uint64))
+        if cnt > 4:
+            split_seen = True
+            assert codec.chunk_n_points(bytes(cc)) <= 4
+    assert split_seen
