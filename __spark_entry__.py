@@ -569,12 +569,15 @@ FROM fp GROUP BY f
 """
 
 
+_MAX_DF = 200  # hot-shingle document-frequency cap (both engines)
+
+
 def q_jaccard_dup_pairs(spark, sf_dir):
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), tau=0.4)
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), tau=0.4, max_df=_MAX_DF)
 
 
-_SQL_SHINGLES = """
-shingled AS (
+_SQL_SHINGLES = f"""
+shingled_raw AS (
   SELECT doc_id, UNNEST(list_distinct(sh)) AS shingle
   FROM (
     SELECT doc_id,
@@ -588,6 +591,12 @@ shingled AS (
       FROM documents WHERE length(trim(coalesce(text, ''))) > 0
     )
   )
+),
+shingled AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingled_raw s
+  JOIN (SELECT shingle FROM shingled_raw GROUP BY shingle
+        HAVING count(*) <= {_MAX_DF}) keep USING (shingle)
 )
 """
 
@@ -610,7 +619,7 @@ WHERE round(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 6) >= 0.4
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), max_df=_MAX_DF)
 
 
 def _minhash_oracle() -> str:
@@ -682,7 +691,54 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 # ---------------------------------------------------------------------------
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=8)
+    # max_hamming=4 with five 12-bit bands: pigeonhole-exact recall
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=4)
+
+
+def _simhash_oracle() -> str:
+    """DuckDB replay of the full 60-bit SimHash pipeline: md5-derived
+    token hash -> bitwise majority vote -> 5x12-bit band join ->
+    hamming verify."""
+    nb = dedup.SIMHASH_BITS
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(nb))
+    sim = "\n      + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(nb))
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash >> {i * 12}) & 4095 AS bkey FROM sim"
+        for i in range(nb // 12))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\r]+')) AS tok
+    FROM documents
+  )
+),
+votes AS (
+  SELECT doc_id, {votes}
+  FROM tok GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id, {sim} AS simhash
+  FROM votes
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 4
+"""
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -692,18 +748,115 @@ def q_lsh_ann_topk(spark, sf_dir):
                                n_planes=8, probe_hamming=3)
 
 
+def _lsh_ann_oracle() -> str:
+    """DuckDB replay of multi-probe hyperplane LSH: the seeded plane
+    matrix is folded into the SQL as literal DOUBLE arrays (same floats
+    Spark folds into its plan), buckets via sign of sequential dot
+    products, probe filter via popcount, cosine re-ranking."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((8, 64))
+    cols = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[] AS p" + str(i)
+        for i, p in enumerate(planes))
+    bucket = "\n      + ".join(
+        f"(CASE WHEN list_dot_product(e.v, p.p{i}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes)))
+    return f"""
+WITH planes AS (SELECT {cols}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id, e.v,
+    {bucket} AS bucket
+  FROM e CROSS JOIN planes p
+),
+q AS (SELECT v AS qv, bucket AS qsig FROM sig WHERE vec_id = 0)
+SELECT s.vec_id,
+  round(list_dot_product(s.v, q.qv)
+        / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+        6) AS cosine
+FROM sig s, q
+WHERE bit_count(xor(s.bucket::BIGINT, q.qsig::BIGINT)) <= 3
+ORDER BY cosine DESC, s.vec_id ASC
+LIMIT 10
+"""
+
+
+_TRANSCRIPT_FIXTURE = str(
+    pathlib.Path(__file__).resolve().parent / "fixtures" / "transcripts_small.parquet"
+)
+
+
 def q_transcript_rollup_1m(spark, sf_dir):
-    """Flagship engine path on the deterministic transcript corpus:
-    ingest -> metric explode -> one-pass tiered rollup (1m slice)."""
-    from mimir_spark.fixtures import transcripts_df
+    """Flagship engine path on the committed deterministic transcript
+    corpus: ingest (dedup) -> metric explode -> one-pass tiered rollup
+    (1m slice). Chunk column verified bit-for-bit in pytest goldens;
+    the driver oracle checks every aggregate column."""
     from mimir_spark.ingest import ingest, turn_metrics
     from mimir_spark.rollup import rollup_points
 
-    t = transcripts_df(spark, 200)
+    t = spark.read.parquet(_TRANSCRIPT_FIXTURE)
     rolled = rollup_points(turn_metrics(ingest(t)), tiers=("1m",))
     return rolled.select("kind", "series_key", "metric", "bucket_ts",
-                         "cnt", "sum_v", "min_v", "max_v", "last_v",
-                         F.length("chunk").alias("chunk_bytes"))
+                         "cnt", "sum_v", "min_v", "max_v", "last_v")
+
+
+# DuckDB replay of the full pipeline: tokenize -> canonical-survivor
+# dedup -> metric explode (incl. role_mix catch-all) -> 1m buckets.
+# All metric values are small integers, so float sums are exact in any
+# order; last_v is keyed on the total (ts, conv_id, turn_idx) order —
+# the same key the engine's in-partition sort uses.
+_TRANSCRIPT_ROLLUP_ORACLE = f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, tool, ts, text,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) END AS n_tok
+  FROM read_parquet('{_TRANSCRIPT_FIXTURE}')
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts ASC NULLS LAST, role ASC NULLS LAST, tool ASC NULLS LAST,
+               n_tok ASC, md5(text) ASC NULLS LAST) AS _rn
+    FROM base) WHERE _rn = 1
+),
+points AS (
+  SELECT 'conv' AS kind, conv_id AS series_key, 'turn_rate' AS metric,
+         ts, conv_id, turn_idx, 1.0 AS v FROM dedup
+  UNION ALL
+  SELECT 'conv', conv_id, 'token_volume', ts, conv_id, turn_idx,
+         CAST(n_tok AS DOUBLE) FROM dedup
+  UNION ALL
+  SELECT 'conv', conv_id,
+         CASE WHEN role IN ('user','assistant','tool')
+              THEN 'role_mix_' || role ELSE 'role_mix_other' END,
+         ts, conv_id, turn_idx, 1.0 FROM dedup WHERE role IS NOT NULL
+  UNION ALL
+  SELECT 'tool', tool, 'turn_rate', ts, conv_id, turn_idx, 1.0
+  FROM dedup WHERE tool IS NOT NULL
+  UNION ALL
+  SELECT 'tool', tool, 'token_volume', ts, conv_id, turn_idx,
+         CAST(n_tok AS DOUBLE) FROM dedup WHERE tool IS NOT NULL
+),
+ranked AS (
+  SELECT kind, series_key, metric,
+         date_trunc('minute', ts) AS bucket_ts, v,
+         ROW_NUMBER() OVER (
+           PARTITION BY kind, series_key, metric, date_trunc('minute', ts)
+           ORDER BY ts DESC, conv_id DESC, turn_idx DESC) AS rn
+  FROM points
+)
+SELECT kind, series_key, metric, bucket_ts,
+       count(*) AS cnt,
+       sum(v) AS sum_v,
+       min(v) AS min_v,
+       max(v) AS max_v,
+       max(CASE WHEN rn = 1 THEN v END) AS last_v
+FROM ranked
+GROUP BY kind, series_key, metric, bucket_ts
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -838,6 +991,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": _DEDUP_EXACT_ORACLE,
         "jaccard_dup_pairs": _JACCARD_ORACLE,
         "minhash_lsh_pairs": _minhash_oracle(),
+        "simhash_pairs": _simhash_oracle(),
         "ann_topk_cosine": _ANN_ORACLE,
         "cosine_dup_pairs": _COSINE_DUP_ORACLE,
+        "transcript_rollup_1m": _TRANSCRIPT_ROLLUP_ORACLE,
+        "lsh_ann_topk": _lsh_ann_oracle(),
     }

@@ -54,23 +54,37 @@ def shingles_col(text_col: str = "text", n: int = 3):
 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) rows, distinct per doc."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(shingles_col(text_col, n)).alias("shingle"))
-    )
+                 text_col: str = "text", n: int = 3,
+                 max_df: int | None = None) -> DataFrame:
+    """(doc_id, shingle) rows, distinct per doc.
+
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    BEFORE any self-join — the standard guard against hot-shingle
+    candidate blowup (a df=10^6 stop-phrase shingle alone would yield
+    10^12 join rows). The hot set is tiny by construction, so it is
+    removed with a broadcast anti-join, not a shuffle."""
+    sh = docs.select(F.col(id_col).alias("doc_id"),
+                     F.explode(shingles_col(text_col, n)).alias("shingle"))
+    if max_df is None:
+        return sh
+    hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+           .filter(F.col("_df") > max_df).select("shingle"))
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def jaccard_pairs(docs: DataFrame, tau: float, id_col: str = "doc_id",
-                  text_col: str = "text", n: int = 3) -> DataFrame:
+                  text_col: str = "text", n: int = 3,
+                  max_df: int | None = None) -> DataFrame:
     """Near-duplicate pairs with n-gram Jaccard >= tau.
 
     Candidates come from an equi-join on shared shingles (inverted
-    index), so cost is driven by shingle collisions, not |docs|^2.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    index), so cost is driven by shingle collisions, not |docs|^2;
+    ``max_df`` caps the per-shingle collision count (both the common
+    counts and the per-doc sizes use the capped shingle universe, so
+    jaccard stays a true set ratio). Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b.
     """
-    sh = doc_shingles(docs, id_col, text_col, n)
+    sh = doc_shingles(docs, id_col, text_col, n, max_df=max_df)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -98,10 +112,11 @@ def jaccard_pairs(docs: DataFrame, tau: float, id_col: str = "doc_id",
 
 def minhash_signature(docs: DataFrame, num_hashes: int = 16,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, max_df: int | None = None) -> DataFrame:
     """(doc_id, sig array<string>): sig[i] = min over shingles of
-    md5(shingle || '#' || i). String-min is portable across engines."""
-    sh = doc_shingles(docs, id_col, text_col, n)
+    md5(shingle || '#' || i). String-min is portable across engines.
+    ``max_df`` excludes hot shingles from the signature universe."""
+    sh = doc_shingles(docs, id_col, text_col, n, max_df=max_df)
     mins = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -112,11 +127,11 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 16,
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
                       id_col: str = "doc_id", text_col: str = "text",
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, max_df: int | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band
     (band key = md5 of the band's concatenated minhashes)."""
     rows = num_hashes // bands
-    sig = minhash_signature(docs, num_hashes, id_col, text_col, n)
+    sig = minhash_signature(docs, num_hashes, id_col, text_col, n, max_df=max_df)
     band_rows = sig.select(
         "doc_id",
         F.explode(F.array(*[
@@ -143,36 +158,56 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id",
+SIMHASH_BITS = 60
+
+
+def _portable_hash60(col):
+    """60-bit token hash both engines compute identically: the first 15
+    hex chars of md5 as an integer (Spark conv(hex,16,10); DuckDB
+    ('0x'||hex)::BIGINT) — always positive, no platform hashing."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash60(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over tokens: per-token xxhash64, bitwise majority
-    vote — all expression-level (explode + groupBy + bit ops)."""
+    """60-bit SimHash over tokens: per-token md5-derived hash, bitwise
+    majority vote — all expression-level (explode + groupBy + bit ops),
+    and exactly replayable by the DuckDB oracle."""
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _portable_hash60("tok"))
     # vote per bit: sum(+1/-1) over tokens; bit set where sum > 0
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(63)  # keep sign bit out to stay in positive int64
+        for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
     sim = None
-    for b in range(63):
+    for b in range(SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+def simhash_pairs(docs: DataFrame, max_hamming: int = 4,
                   id_col: str = "doc_id", text_col: str = "text",
-                  band_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share >=1 of four 16-bit
-    bands (pigeonhole: hamming<=3 over 64 bits guarantees a clean
-    band), verified by popcount of xor <= max_hamming."""
-    sh = simhash64(docs, id_col, text_col)
+                  band_bits: int = 12) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share >=1 of five 12-bit
+    bands, verified by popcount of xor <= max_hamming.
+
+    Pigeonhole guarantee: with B = 60/band_bits bands, any pair at
+    hamming <= B-1 has at least one clean band, so recall is exact for
+    max_hamming <= B-1 (the defaults: 5 bands, max_hamming 4). Callers
+    wanting a larger radius must shrink band_bits accordingly."""
+    bands_n = SIMHASH_BITS // band_bits
+    if max_hamming > bands_n - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole bound "
+            f"{bands_n - 1} of {bands_n} bands; use smaller band_bits")
+    sh = simhash60(docs, id_col, text_col)
     bands = sh.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
@@ -181,7 +216,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                 F.shiftrightunsigned(F.col("simhash"), i * band_bits)
                  .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bkey"),
             )
-            for i in range(64 // band_bits)
+            for i in range(bands_n)
         ])).alias("b"),
     ).select("doc_id", "simhash", "b.band", "b.bkey")
     x, y = bands.alias("x"), bands.alias("y")
@@ -194,7 +229,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -58,8 +58,10 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Approximate cosine top-k: score only vectors whose LSH bucket is
     within ``probe_hamming`` bit flips of the query's bucket (multi-probe
-    LSH). At 100 TB the table is written bucketed/partitioned by
-    ``bucket`` so probing prunes partitions at the scan."""
+    LSH). This in-memory variant computes buckets on the fly (full scan,
+    cheap filter); the scale path is write_embeddings_bucketed +
+    lsh_topk_bucketed, where the probe set prunes partitions at the
+    scan."""
     dim = len(query_vec)
     sigs = hyperplane_signature(embeddings, n_planes, dim, seed, id_col, vec_col)
     rng = np.random.default_rng(seed)
@@ -72,6 +74,54 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int,
     return (
         sigs.filter(probe)
         .select("vec_id", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def query_signature(query_vec: list[float], n_planes: int = 12,
+                    seed: int = 42) -> int:
+    """LSH bucket id of one query vector (driver-side, same planes as
+    hyperplane_signature)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, len(query_vec)))
+    q = np.asarray(query_vec, dtype=np.float64)
+    return int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0))
+
+
+def write_embeddings_bucketed(embeddings: DataFrame, path: str,
+                              n_planes: int = 12, seed: int = 42,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> None:
+    """Materialize the LSH layout: parquet partitioned by ``bucket``.
+
+    This is the scale path's storage half: at 100 TB this is an Iceberg
+    table partitioned by bucket, and probing reads ONLY the probed
+    partitions (partition pruning at the scan — verified by the
+    PartitionFilters entry in the plan, see lsh_topk_bucketed)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    sigs = hyperplane_signature(embeddings, n_planes, dim, seed, id_col, vec_col)
+    sigs.write.mode("overwrite").partitionBy("bucket").parquet(str(path))
+
+
+def lsh_topk_bucketed(spark, path: str, query_vec: list[float], k: int,
+                      n_planes: int = 12, seed: int = 42,
+                      probe_hamming: int = 2) -> DataFrame:
+    """Approximate cosine top-k over the bucket-partitioned store.
+
+    The probe set (buckets within ``probe_hamming`` bit flips of the
+    query's bucket) becomes an IN-list filter on the partition column,
+    so the scan prunes to the probed partitions — no full pass over the
+    table, unlike the in-memory ``lsh_topk`` which filters post-scan."""
+    qsig = query_signature(query_vec, n_planes, seed)
+    probes = [b for b in range(1 << n_planes)
+              if bin(b ^ qsig).count("1") <= probe_hamming]
+    df = spark.read.parquet(str(path)).filter(F.col("bucket").isin(probes))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qcol = F.lit(q.tolist()).cast("array<double>")
+    sim = _dot_col(F.col("v"), qcol) / (_norm_col(F.col("v")) * _norm_col(qcol))
+    return (
+        df.select("vec_id", F.round(sim, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )

@@ -47,3 +47,15 @@ def test_distributed_equals_local(spark, t_small):
     want["ts"] = want["ts"].astype("datetime64[us]")
     got["ts"] = got["ts"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_committed_fixture_matches_generator(t_small):
+    """The committed parquet (the driver-oracle input for
+    transcript_rollup_1m) must stay byte-identical to regeneration."""
+    committed = pd.read_parquet("fixtures/transcripts_small.parquet")
+    want = t_small.copy()
+    want["ts"] = want["ts"].astype("datetime64[us]")
+    committed["ts"] = committed["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(committed.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)

@@ -274,3 +274,35 @@ def test_frame_sample_plan(spark):
     assert (plan["frame_ms"] % 500 == 0).all()
     vids = media.filter("kind = 'video'").count()
     assert plan["media_id"].nunique() == vids
+
+
+def test_lsh_bucketed_store_prunes_partitions(spark, emb, tmp_path_factory):
+    """The scale path's storage half: embeddings written partitioned by
+    LSH bucket; probing turns into partition pruning at the scan."""
+    path = str(tmp_path_factory.mktemp("lshstore") / "emb_bucketed")
+    similarity.write_embeddings_bucketed(emb, path, n_planes=6)
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    got = similarity.lsh_topk_bucketed(spark, path, q, 10, n_planes=6,
+                                       probe_hamming=2).toPandas()
+    want = similarity.lsh_topk(emb, q, 10, n_planes=6,
+                               probe_hamming=2).toPandas()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["cosine"], want["cosine"])
+    # plan evidence: the scan carries PartitionFilters on bucket and
+    # reads fewer partition directories than exist in the store
+    qsig = similarity.query_signature(q, n_planes=6)
+    probes = [b for b in range(64) if bin(b ^ qsig).count("1") <= 2]
+    from pyspark.sql import functions as F2
+    scan = spark.read.parquet(path).filter(F2.col("bucket").isin(probes))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    pf_body = pf[1].split("]", 1)[0]
+    # the probe IN-list became a partition filter (INSET on bucket)...
+    assert "bucket" in pf_body and "INSET" in pf_body
+    # ...and NOT a row-level filter: nothing left in DataFilters
+    assert "DataFilters: []" in plan
+    # the store has more partitions than the probe set touches
+    n_all = len({f.split("bucket=")[1].split("/")[0]
+                 for f in spark.read.parquet(path).inputFiles()})
+    assert len(probes) < n_all

@@ -109,3 +109,27 @@ def test_cascade_max_points_bounds_subchunks(spark, t_small_df):
             split_seen = True
             assert codec.chunk_n_points(bytes(cc)) <= 4
     assert split_seen
+
+
+def test_hot_shingle_df_cap_bounds_candidates(spark):
+    """A stop-phrase shingle shared by k docs must not contribute k^2
+    candidate pairs once max_df caps it; true near-dups still found."""
+    hot = "the quick brown fox jumps"
+    rows = [(i, f"{hot} unique{i}a unique{i}b unique{i}c") for i in range(60)]
+    # one genuine near-dup pair with distinctive overlap
+    rows += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string")
+    sh_capped = dedup.doc_shingles(docs, max_df=10)
+    # every surviving shingle has df <= 10 -> join fan-out bounded
+    dfc = sh_capped.groupBy("shingle").count().toPandas()
+    assert (dfc["count"] <= 10).all()
+    pairs = dedup.jaccard_pairs(docs, tau=0.5, max_df=10).toPandas()
+    assert (100, 101) in set(zip(pairs.doc_a, pairs.doc_b))
+    # the hot-shingle docs share nothing after the cap
+    assert not any(a < 60 and b < 60 for a, b in zip(pairs.doc_a, pairs.doc_b))
+    mh = dedup.minhash_lsh_pairs(docs, max_df=10).toPandas()
+    assert (100, 101) in set(zip(mh.doc_a, mh.doc_b))
+    assert not any(a < 60 and b < 60 for a, b in zip(mh.doc_a, mh.doc_b))
