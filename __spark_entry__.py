@@ -276,6 +276,43 @@ FROM w GROUP BY user_id HAVING n_pairs > 0
 """
 
 
+def _events_as_turns(spark, sf_dir):
+    """Events stream viewed as ordered turn streams (conversation =
+    user, turn = event) so the Mimir query language runs over it."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("event_type").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+
+
+def q_parsed_seq_query(spark, sf_dir):
+    """Query-STRING entry point (the reference's primary API): parse
+    'view purchase' -> SequenceQuery -> hits over the event stream."""
+    from mimir_spark.query_parser import run_query
+
+    return run_query("view purchase", _events_as_turns(spark, sf_dir))
+
+
+_PARSED_SEQ_ORACLE = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS pos,
+         event_type
+  FROM events
+)
+SELECT DISTINCT a.conv_id, CAST(a.pos AS INT) AS pos, CAST(2 AS INT) AS len
+FROM t a JOIN t b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1
+WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+"""
+
+
 def q_users_view_no_purchase(spark, sf_dir):
     """MinusQuery analogue: doc-set difference via anti-join."""
     ev = _events(spark, sf_dir)
@@ -890,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "topk_users_by_value": q_topk_users_by_value,
         "seq_click_purchase": q_seq_click_purchase,
+        "parsed_seq_query": q_parsed_seq_query,
         "users_view_no_purchase": q_users_view_no_purchase,
         # relational coverage
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -952,6 +990,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_value DESC, user_id ASC LIMIT 10
         """,
         "seq_click_purchase": _SEQ_ORACLE,
+        "parsed_seq_query": _PARSED_SEQ_ORACLE,
         "users_view_no_purchase": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
             AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .ingest import ingest, turn_metrics
-from .rollup import rollup_points
+from .rollup import TIER_US, rollup_points
 
 LINEAGE_SCHEMA = (
     "job_id string, partition_id int, rows_in long, points_out long, "
@@ -61,8 +61,13 @@ class TieredStore:
         tmp.rename(out)
 
     def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
-        return spark.read.option("basePath", str(self.tier_dir(tier))).parquet(
-            str(self.tier_dir(tier) / "p=*")
+        # the one-pass writer stores tier as a partition directory, not a
+        # file column — restore it (withColumn also normalizes stores
+        # written by write_partition, whose files carry tier inline)
+        return (
+            spark.read.option("basePath", str(self.tier_dir(tier)))
+            .parquet(str(self.tier_dir(tier) / "p=*"))
+            .withColumn("tier", F.lit(tier))
         )
 
     def expire(self, tier: str, cutoff_date: str) -> list[str]:
@@ -115,40 +120,96 @@ def run_rollup_job(
     tiers: tuple[str, ...] = ("1m", "1h", "1d"),
     max_partitions: int | None = None,
 ) -> list[dict]:
-    """Process transcript partitions (pmod(xxhash64(conv_id), P)) one at
-    a time, committing tier output + a lineage row per partition.
+    """Roll up all pending shards (pmod(xxhash64(conv_id), P)) in ONE
+    source scan, then commit tier output + a lineage row per shard.
 
-    ``max_partitions`` bounds work per invocation (used by tests to
+    Scale note: the previous design looped shards and re-filtered the
+    full source per shard — P full input scans (at 100 TB with P=256,
+    256 exabyte-reads for one pass of data). Here the shard id rides
+    along as a prefix of the series ``kind`` through one rollup_points
+    pass, the staged output is written once partitioned by
+    (tier, p, bucket_date), per-shard stats are aggregated from the
+    staged files (output is ~100x smaller than input), and each shard's
+    directories are atomically moved into place before its lineage
+    marker is written. The commit protocol is unchanged: a shard is
+    done iff its lineage row is readable; a crash anywhere re-runs only
+    uncommitted shards, and every write is an idempotent replace.
+
+    ``max_partitions`` bounds shards per invocation (used by tests to
     simulate a crash mid-job); re-invoking resumes from lineage.
     """
     done = store.committed_partitions(spark, job_id)
     pending = [p for p in range(num_partitions) if p not in done]
     if max_partitions is not None:
         pending = pending[:max_partitions]
-    results = []
-    for p in pending:
-        src = source().filter(
-            F.pmod(F.xxhash64("conv_id"), F.lit(num_partitions)) == p
-        )
-        turns = ingest(src).cache()
-        rows_in = turns.count()
-        rolled = rollup_points(turn_metrics(turns), tiers=tiers).cache()
-        stats = rolled.agg(
+    if not pending:
+        return []
+    tiers = tuple(tiers)
+    shard = F.pmod(F.xxhash64("conv_id"), F.lit(num_partitions))
+    src = source().filter(shard.isin([int(p) for p in pending]))
+    points = turn_metrics(ingest(src))
+    # shard tag folded into the series kind: the SAME rollup pass
+    # produces per-(shard, series, bucket) groups with no extra shuffle
+    tagged = points.withColumn(
+        "kind", F.concat(shard.cast("string"), F.lit("|"), F.col("kind")))
+    rolled = rollup_points(tagged, tiers=tiers)
+    parts = F.split(F.col("kind"), "\\|", 2)
+    out = (
+        rolled.withColumn("p", parts.getItem(0).cast("int"))
+        .withColumn("kind", parts.getItem(1))
+        .withColumn("bucket_date", F.to_date("bucket_ts"))
+    )
+    staging = store.root / "_staging" / f"job={job_id}"
+    if staging.exists():
+        shutil.rmtree(staging)
+    (
+        out.write.mode("overwrite")
+        .partitionBy("tier", "p", "bucket_date")
+        .parquet(str(staging))
+    )
+    # per-shard lineage metrics from the staged output: rows_in = the
+    # deduped turn count (every turn emits exactly one conv/turn_rate
+    # point, so the finest tier's cnt sums recover it without a second
+    # pass over the source)
+    finest = min(tiers, key=lambda t: TIER_US[t])
+    staged = spark.read.option("basePath", str(staging)).parquet(str(staging))
+    is_turnrate = ((F.col("tier") == finest) & (F.col("kind") == "conv")
+                   & (F.col("metric") == "turn_rate"))
+    stats = (
+        staged.groupBy("p")
+        .agg(
             F.count("*").alias("points_out"),
             F.coalesce(F.sum(F.length("chunk")), F.lit(0)).alias("bytes"),
-        ).collect()[0]
+            F.coalesce(F.sum(F.when(is_turnrate, F.col("cnt"))),
+                       F.lit(0)).alias("rows_in"),
+        )
+        .collect()
+    )
+    by_p = {r["p"]: r for r in stats}
+    results = []
+    for p in pending:
         for tier in tiers:
-            store.write_partition(rolled.filter(F.col("tier") == tier), tier, p)
+            src_dir = staging / f"tier={tier}" / f"p={p}"
+            if src_dir.exists():
+                dst = store.tier_dir(tier) / f"p={p}"
+                if dst.exists():
+                    shutil.rmtree(dst)
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                src_dir.rename(dst)
+        r = by_p.get(p)
         row = {
             "job_id": job_id,
             "partition_id": p,
-            "rows_in": rows_in,
-            "points_out": stats["points_out"],
-            "bytes_compressed": stats["bytes"],
+            "rows_in": int(r["rows_in"]) if r else 0,
+            "points_out": int(r["points_out"]) if r else 0,
+            "bytes_compressed": int(r["bytes"]) if r else 0,
             "committed_at": pd.Timestamp(int(time.time() * 1_000_000), unit="us"),
         }
         store.commit_lineage(row)
         results.append(row)
-        rolled.unpersist()
-        turns.unpersist()
+    shutil.rmtree(staging, ignore_errors=True)
+    try:  # drop the _staging parent when no other job is mid-flight
+        staging.parent.rmdir()
+    except OSError:
+        pass
     return results

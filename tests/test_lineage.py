@@ -76,3 +76,23 @@ def test_retention_expiry(spark, source, tmp_path):
     after = store.read_tier(spark, "1d").toPandas()
     assert set(after["bucket_date"].astype(str)) == set(dates[dates >= cutoff])
     assert len(after) == (before["bucket_date"].astype(str) >= cutoff).sum()
+
+
+def test_single_source_scan_per_invocation(spark, t_small):
+    """The one-pass job builds exactly one plan over the source per
+    invocation (the old design re-filtered the full source P times)."""
+    from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
+
+    calls = []
+
+    def counting_source():
+        calls.append(1)
+        return spark.createDataFrame(t_small, schema=TRANSCRIPT_SCHEMA)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        store = TieredStore(d)
+        rows = run_rollup_job(spark, counting_source, store, "job-scan",
+                              num_partitions=6)
+    assert len(rows) == 6
+    assert len(calls) == 1

@@ -1,0 +1,146 @@
+"""Query-string language: acceptance against the reference's own
+17-string corpus (TestQueryParser.java:51-147) plus execution
+semantics over a tiny turns frame and the algebra identities the
+reference itself tests (TestQueries.java:153-252)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mimir_spark import query_parser as QP
+from mimir_spark.query_parser import Ann, Bin, Repeat, Seq, Term, parse, run_query
+
+# the reference's acceptance corpus, verbatim (unescaped from Java)
+CORPUS = [
+    '{Measurement normalisedUnit="m"  normalisedValue<=30}',
+    '"A AND OR B"',
+    'A "AND" \\+ "OR" B',
+    "A AND B",
+    "15 September 2007",
+    "Thîs ís à teßt €12 and 23¢",
+    "A OR B",
+    "{A}",
+    '{A f1Key.REGEX("f1Value", "flasgs") f2Key="f2Value IN Quotes" '
+    'f3Key>= 5.4 unit="1©" }',
+    "{A} OVER {B}",
+    "{A} IN {B}",
+    "{A} [1..4] {B}",
+    "{A}+3..5",
+    "{A}+3",
+    "root:be",
+    "{A} {B} ({A} | {B})",
+    '({A} | {B}) IN (\\"Going for\\" [1..4] (root:trade | root:sale))',
+]
+
+
+@pytest.mark.parametrize("q", CORPUS)
+def test_acceptance_corpus_parses(q):
+    assert parse(q) is not None
+
+
+def test_ast_shapes():
+    assert parse("root:be") == Term("be", index="root")
+    assert parse("A AND B") == Bin("AND", Term("A"), Term("B"))
+    assert parse('"A AND OR B"') == Seq(
+        (Term("A"), Term("AND"), Term("OR"), Term("B")),
+        ((0, 0), (0, 0), (0, 0)))
+    assert parse("{A} [1..4] {B}") == Seq((Ann("A"), Ann("B")), ((1, 4),))
+    assert parse("{A}+3..5") == Repeat(Ann("A"), 3, 5)
+    assert parse("{A}+3") == Repeat(Ann("A"), 3, 3)
+    node = parse('{Measurement normalisedUnit="m" normalisedValue<=30}')
+    assert node == Ann("Measurement", (("normalisedUnit", "EQ", "m"),
+                                       ("normalisedValue", "LE", 30)))
+    # single gap number = max, min 0 (GapQuery production)
+    assert parse("a [2] b") == Seq((Term("a"), Term("b")), ((0, 2),))
+
+
+def test_parse_errors():
+    for bad in ["{", "(a", "a +", "a [x] b", "{A f1 ~ 3}"]:
+        with pytest.raises(QP.QueryParseError):
+            parse(bad)
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    rows = [
+        # conv, idx, role, text, tool
+        ("c1", 0, "user", "please fix the build", None),
+        ("c1", 1, "assistant", "running the build now", None),
+        ("c1", 2, "tool", "build output ok", "bash"),
+        ("c1", 3, "assistant", "the build is fixed", None),
+        ("c2", 0, "user", "search the docs", None),
+        ("c2", 1, "tool", "docs found", "search"),
+        ("c2", 2, "assistant", "here are the docs", None),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                      "text", "tool"])
+    pdf["ts"] = pd.to_datetime(
+        [1_700_000_000_000_000 + i * 60_000_000 for i in range(len(pdf))],
+        unit="us")
+    return spark.createDataFrame(
+        pdf, "conv_id string, turn_idx int, role string, text string, "
+             "tool string, ts timestamp")
+
+
+def _hits(df):
+    return sorted(map(tuple, df.select("conv_id", "pos", "len").collect()))
+
+
+def test_term_matches_text_tokens(turns):
+    assert _hits(run_query("build", turns)) == [
+        ("c1", 0, 1), ("c1", 1, 1), ("c1", 2, 1), ("c1", 3, 1)]
+    assert _hits(run_query("Build", turns)) == _hits(run_query("build", turns))
+
+
+def test_named_index_term(turns):
+    assert _hits(run_query("role:tool", turns)) == [("c1", 2, 1), ("c2", 1, 1)]
+    assert _hits(run_query("tool:bash", turns)) == [("c1", 2, 1)]
+
+
+def test_sequence_and_gap(turns):
+    # 'fix' (turn 0) followed within 0..2 gaps by 'output' (turn 2)
+    assert _hits(run_query("fix [2] output", turns)) == [("c1", 0, 3)]
+    assert _hits(run_query("fix output", turns)) == []
+    # adjacent: 'running' then tool turn
+    assert _hits(run_query("running {Tool}", turns)) == [("c1", 1, 2)]
+
+
+def test_or_and_in_over_minus(turns):
+    assert _hits(run_query("fix | search", turns)) == [
+        ("c1", 0, 1), ("c2", 0, 1)]
+    # minimal window containing both
+    assert _hits(run_query("fix & fixed", turns)) == [("c1", 0, 4)]
+    assert _hits(run_query("build IN ({Document n_turns>3})", turns)) == [
+        ("c1", 0, 1), ("c1", 1, 1), ("c1", 2, 1), ("c1", 3, 1)]
+    assert _hits(run_query("{Document n_turns>0} OVER (docs found)", turns)) \
+        == [("c2", 0, 3)]
+    # MINUS removes exact (conv,pos,len) matches: drop the user's build turn
+    assert _hits(run_query(
+        'build MINUS {Turn role=user text.REGEX(".*build.*")}', turns)) == [
+        ("c1", 1, 1), ("c1", 2, 1), ("c1", 3, 1)]
+
+
+def test_annotation_types(turns):
+    assert _hits(run_query("{Tool name=search}", turns)) == [("c2", 1, 1)]
+    assert _hits(run_query("{Turn role=assistant}", turns)) == [
+        ("c1", 1, 1), ("c1", 3, 1), ("c2", 2, 1)]
+    assert _hits(run_query('{Turn text.REGEX(".*docs.*")}', turns)) == [
+        ("c2", 0, 1), ("c2", 1, 1), ("c2", 2, 1)]
+
+
+def test_repeats_identity(turns):
+    """seq x3 == +3..3 — the reference's own identity
+    (TestQueries.java:209-226)."""
+    a = "{Turn role=assistant}"
+    got = _hits(run_query(f"({a})+2..2", turns))
+    want = _hits(run_query(f"{a} {a}", turns))
+    # +2 requires consecutive (zero-gap) runs; seq with gap 0 likewise
+    assert got == want
+
+
+def test_gap_subset_invariant(turns):
+    """no-gap results subset of gap results (TestQueries.java:153-172)."""
+    no_gap = set(_hits(run_query("fix output", turns)))
+    gap = set(_hits(run_query("fix [3] output", turns)))
+    assert no_gap <= gap
