@@ -482,6 +482,99 @@ HAVING count(DISTINCT doc_id) = 5
 """
 
 
+def q_or_terms_first(spark, sf_dir):
+    """OrTermsQuery with the FIRST count strategy: input order decides
+    which set's count wins for terms present in both."""
+    toks = TERMS.tokenize(_docs(spark, sf_dir), id_col="doc_id")
+    s0 = TERMS.documents_or_terms(toks, [0, 1, 2])
+    s1 = TERMS.documents_or_terms(toks, [2, 3, 4, 5])
+    return TERMS.or_terms([s0, s1], "FIRST")
+
+
+_OR_TERMS_FIRST_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENIZE}
+  FROM documents
+  WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+s0 AS (SELECT term, count(*) AS c FROM toks
+       WHERE length(term) > 0 AND doc_id IN (0,1,2) GROUP BY term),
+s1 AS (SELECT term, count(*) AS c FROM toks
+       WHERE length(term) > 0 AND doc_id IN (2,3,4,5) GROUP BY term)
+SELECT coalesce(s0.term, s1.term) AS term,
+       coalesce(s0.c, s1.c) AS count
+FROM s0 FULL JOIN s1 ON s0.term = s1.term
+"""
+
+
+def q_terms_by_description(spark, sf_dir):
+    """Group-by-description terms merge (TermsResultSet.java:60-69):
+    terms sharing a description combine, counts summed. Description
+    here = term-length class (a deterministic describer)."""
+    toks = TERMS.tokenize(_docs(spark, sf_dir), id_col="doc_id")
+    terms = TERMS.term_type_terms(toks).withColumn(
+        "description",
+        F.concat(F.lit("len_"), F.length("term").cast("string")))
+    return TERMS.group_by_description(terms) \
+        .select("description", "count", "n_terms")
+
+
+_TERMS_BY_DESC_ORACLE = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKENIZE}
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+terms AS (
+  SELECT term, count(*) AS c FROM toks
+  WHERE length(term) > 0 AND term NOT IN ({_sw_list()})
+  GROUP BY term
+)
+SELECT 'len_' || CAST(length(term) AS VARCHAR) AS description,
+       CAST(sum(c) AS BIGINT) AS count,
+       count(DISTINCT term) AS n_terms
+FROM terms GROUP BY 1
+"""
+
+
+def q_bm25_scores(spark, sf_dir):
+    """BM25 document scores for one query term (the reference's
+    BM25Scorer catalog slot)."""
+    from mimir_spark.functions.scoring import bm25_scores
+
+    toks = TERMS.tokenize(_docs(spark, sf_dir), id_col="doc_id")
+    return bm25_scores(toks, "filter")
+
+
+# identical operation ORDER to the Column expression (float parity):
+# idf * tf * (k1+1) / denom, with denom = tf + k1*((1-b) + b*dl/avgdl)
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENIZE}
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+dl AS (
+  SELECT doc_id, count(*) AS dl,
+         sum(CASE WHEN term = 'filter' THEN 1 ELSE 0 END) AS tf
+  FROM (SELECT doc_id, term FROM toks WHERE length(term) > 0)
+  GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df,
+         avg(dl) AS avgdl
+  FROM dl
+)
+SELECT d.doc_id,
+  round(
+    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+      * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+      / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / avgdl)),
+    6) AS score
+FROM dl d, stats
+WHERE tf > 0 AND df > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops over documents/embeddings
 # ---------------------------------------------------------------------------
@@ -938,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_topk_documents": q_terms_topk_documents,
         "documents_and_terms": q_documents_and_terms,
         "documents_or_terms": q_documents_or_terms,
+        "or_terms_first": q_or_terms_first,
+        "terms_by_description": q_terms_by_description,
+        "bm25_scores": q_bm25_scores,
         "cube_returnflag_status": q_cube_returnflag_status,
         # training-data pipeline
         "lang_id_counts": q_lang_id_counts,
@@ -1018,6 +1114,9 @@ def oracle_sql() -> dict[str, str]:
         "terms_topk_documents": _TERMS_TOPK_ORACLE,
         "documents_and_terms": _AND_TERMS_ORACLE,
         "documents_or_terms": _OR_TERMS_ORACLE,
+        "or_terms_first": _OR_TERMS_FIRST_ORACLE,
+        "terms_by_description": _TERMS_BY_DESC_ORACLE,
+        "bm25_scores": _BM25_ORACLE,
         "cube_returnflag_status": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -45,6 +45,42 @@ def tf_idf_scores(tokens: DataFrame, term: str) -> DataFrame:
     )
 
 
+def bm25_scores(tokens: DataFrame, term: str, k1: float = 1.2,
+                b: float = 0.75) -> DataFrame:
+    """Okapi BM25 for one query term over the token table — the
+    reference's BM25Scorer slot (MimirScorerService.groovy:29-34,
+    search/score via MG4J BM25).
+
+    score(d) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    idf      = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    One logical plan: corpus stats (N, df, avgdl) from a single
+    aggregation over per-doc lengths, broadcast back — no driver-side
+    actions (same discipline as tf_idf_scores)."""
+    dl = tokens.groupBy("doc_id").agg(
+        F.count("*").alias("_dl"),
+        F.sum(F.when(F.col("term") == term, 1).otherwise(0)).alias("_tf"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("_n_docs"),
+        F.sum(F.when(F.col("_tf") > 0, 1).otherwise(0)).alias("_df"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf = F.col("_tf").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+    return (
+        dl.filter(F.col("_tf") > 0)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("_df") > 0)
+        .select("doc_id",
+                F.round(idf * tf * (k1 + 1.0) / denom, 6).alias("score"))
+    )
+
+
 def rank_documents(scored: DataFrame, k: int | None = None) -> DataFrame:
     """Block-incremental top-k of the reference
     (RankingQueryRunnerImpl.java:516-573) collapses to

@@ -78,6 +78,58 @@ def quality_score(text_col: str = "text") -> Column:
     return F.round(0.4 * length_term + 0.4 * stop_term + 0.2 * alpha_ratio(text_col), 6)
 
 
+# accent-folding table (NormalizingTermProcessor analogue,
+# util/NormalizingTermProcessor.java): 1:1 latin accent mapping via
+# translate — stays inside codegen, no Python. ß folds to 's' (single
+# char, documented lossy vs 'ss').
+_ACCENTS = "àáâãäåāçćčèéêëēìíîïīñńòóôõöøōšùúûüūýÿžß"
+_PLAIN = "aaaaaaaccceeeeeiiiiinnooooooosuuuuuyyzs"
+
+
+def fold_accents(col) -> Column:
+    """Unicode term normalization: lowercase + latin accent folding."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.translate(F.lower(c), _ACCENTS, _PLAIN)
+
+
+def normalized_tokens_col(text_col: str = "text") -> Column:
+    """tokens_col with accent-folded terms (a TermProcessor chain:
+    downcase -> normalize, IndexConfig.java:96-141)."""
+    return F.split(F.trim(fold_accents(F.col(text_col))), WS_RE)
+
+
+def describe_mention(type_name: str, feature_cols: list[str]) -> Column:
+    """Human-readable mention description — DefaultMentionDescriber
+    (util/DefaultMentionDescriber.java): 'Type{f1 = v1, f2 = v2}'."""
+    parts = [
+        F.concat(F.lit(f"{c} = "), F.coalesce(F.col(c).cast("string"),
+                                              F.lit("null")))
+        for c in feature_cols
+    ]
+    return F.concat(F.lit(type_name), F.lit("{"),
+                    F.concat_ws(", ", *parts), F.lit("}"))
+
+
+def pattern_description(template: str) -> Column:
+    """PatternMentionDescriber analogue
+    (util/PatternMentionDescriber.java): a template with ${feature}
+    placeholders substituted from columns, e.g.
+    'tool ${tool} at turn ${turn_idx}'."""
+    import re as _re
+
+    parts: list[Column] = []
+    pos = 0
+    for m in _re.finditer(r"\$\{(\w+)\}", template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        parts.append(F.coalesce(F.col(m.group(1)).cast("string"),
+                                F.lit("null")))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return F.concat(*parts) if parts else F.lit(template)
+
+
 def normalize_text(text_col: str = "text") -> Column:
     """lowercase + collapse whitespace — shared by fingerprint/dedup."""
     return F.regexp_replace(F.trim(F.lower(F.col(text_col))), WS_RE, " ")

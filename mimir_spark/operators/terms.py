@@ -82,13 +82,82 @@ def term_type_terms(tokens: DataFrame,
     )
 
 
+OR_TERMS_STRATEGIES = ("FIRST", "MAX", "MIN", "SUM")
+
+
+def or_terms(term_sets: list[DataFrame], strategy: str = "SUM") -> DataFrame:
+    """K-way union of terms result sets with a count-combination
+    strategy (OrTermsQuery.java:63-152, computeCompoundCount):
+
+    - SUM:   counts added across inputs
+    - MAX/MIN: extreme count across inputs
+    - FIRST: the count from the FIRST (lowest-index) input containing
+      the term — input order is significant, so each set is tagged
+      with its position before the union.
+    """
+    if strategy not in OR_TERMS_STRATEGIES:
+        raise ValueError(f"unknown strategy {strategy!r}; "
+                         f"valid: {OR_TERMS_STRATEGIES}")
+    tagged = None
+    for i, ts in enumerate(term_sets):
+        t = ts.select("term", "count").withColumn("_src", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    agg = {
+        "SUM": F.sum("count"),
+        "MAX": F.max("count"),
+        "MIN": F.min("count"),
+        "FIRST": F.min_by("count", F.col("_src")),
+    }[strategy]
+    return tagged.groupBy("term").agg(agg.alias("count"))
+
+
+def group_by_description(terms: DataFrame) -> DataFrame:
+    """Merge terms sharing a description: counts summed, original term
+    strings kept as a sorted list (TermsResultSet.groupByDescription,
+    TermsResultSet.java:60-69; applied at
+    AbstractIndexTermsQuery.java:298)."""
+    return (
+        terms.groupBy("description")
+        .agg(
+            F.sum("count").alias("count"),
+            F.sort_array(F.collect_set("term")).alias("terms"),
+            F.count_distinct("term").alias("n_terms"),
+        )
+    )
+
+
+def annotation_terms(turns: DataFrame,
+                     constraints: list[tuple[str, str, object]],
+                     term_col: str = "tool") -> DataFrame:
+    """AnnotationTermsQuery (AnnotationTermsQuery.java:78-133): the
+    distinct mention values satisfying the constraints, with counts and
+    mention lengths — here term = a turn column's value, length = 1
+    turn (annotations are turn-spans in the graft)."""
+    from .hits import _CONSTRAINT_OPS
+
+    pred = F.col(term_col).isNotNull()
+    for col, op, val in constraints:
+        pred = pred & _CONSTRAINT_OPS[op](F.col(col), val)
+    return (
+        turns.filter(pred)
+        .groupBy(F.col(term_col).alias("term"))
+        .agg(F.count("*").alias("count"), F.lit(1).alias("length"))
+    )
+
+
 def sorted_terms(terms: DataFrame, by: str = "count_desc") -> DataFrame:
-    """SortedTermsQuery default order: count desc, term asc
-    (SortedTermsQuery.java:33-64)."""
+    """SortedTermsQuery sort criteria: COUNT_DESC (default: count desc,
+    term asc), STRING, DESCRIPTION (SortedTermsQuery.java:25,33-64)."""
     if by == "count_desc":
         return terms.orderBy(F.desc("count"), F.asc("term"))
     if by == "term_asc":
         return terms.orderBy(F.asc("term"))
+    if by == "description_asc":
+        return terms.orderBy(F.asc("description"), F.desc("count"),
+                             F.asc("term"))
+    if by == "description_desc":
+        return terms.orderBy(F.desc("description"), F.desc("count"),
+                             F.asc("term"))
     raise ValueError(f"unknown sort {by!r}")
 
 

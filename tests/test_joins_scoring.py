@@ -134,3 +134,50 @@ def test_render_hits(spark, t_small_df):
         for line, key in zip(lines, expected_rows):
             row = tpdf.loc[key]
             assert line == f"{row.role}: {row.text}"
+
+
+def test_or_terms_strategies(spark):
+    from mimir_spark.operators import terms as TERMS
+
+    s0 = spark.createDataFrame([("a", 3), ("b", 1)], "term string, count long")
+    s1 = spark.createDataFrame([("b", 5), ("c", 2)], "term string, count long")
+    got = {st: dict(TERMS.or_terms([s0, s1], st).collect())
+           for st in TERMS.OR_TERMS_STRATEGIES}
+    assert got["SUM"] == {"a": 3, "b": 6, "c": 2}
+    assert got["MAX"] == {"a": 3, "b": 5, "c": 2}
+    assert got["MIN"] == {"a": 3, "b": 1, "c": 2}
+    assert got["FIRST"] == {"a": 3, "b": 1, "c": 2}  # s0 wins for b
+    with pytest.raises(ValueError):
+        TERMS.or_terms([s0], "MEDIAN")
+
+
+def test_group_by_description(spark):
+    from mimir_spark.operators import terms as TERMS
+
+    t = spark.createDataFrame(
+        [("aa", 2, "short"), ("bb", 3, "short"), ("ccc", 5, "long")],
+        "term string, count long, description string")
+    got = {r["description"]: (r["count"], list(r["terms"]), r["n_terms"])
+           for r in TERMS.group_by_description(t).collect()}
+    assert got == {"short": (5, ["aa", "bb"], 2), "long": (5, ["ccc"], 1)}
+
+
+def test_bm25_matches_numpy_oracle(spark):
+    import math
+
+    from mimir_spark.functions.scoring import bm25_scores
+    from mimir_spark.operators import terms as TERMS
+
+    docs = spark.createDataFrame(
+        [(0, "x y z x"), (1, "x a b"), (2, "a b c d e"), (3, "x x x")],
+        "doc_id long, text string")
+    toks = TERMS.tokenize(docs, id_col="doc_id")
+    got = dict(bm25_scores(toks, "x", k1=1.2, b=0.75).collect())
+    dls = {0: 4, 1: 3, 2: 5, 3: 3}
+    tfs = {0: 2, 1: 1, 3: 3}
+    n, df, avgdl = 4, 3, sum(dls.values()) / 4
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    for d, tf in tfs.items():
+        want = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[d] / avgdl))
+        assert got[d] == pytest.approx(round(want, 6), abs=1e-9)
+    assert 2 not in got

@@ -133,3 +133,39 @@ def test_hot_shingle_df_cap_bounds_candidates(spark):
     mh = dedup.minhash_lsh_pairs(docs, max_df=10).toPandas()
     assert (100, 101) in set(zip(mh.doc_a, mh.doc_b))
     assert not any(a < 60 and b < 60 for a, b in zip(mh.doc_a, mh.doc_b))
+
+
+def test_fold_accents_and_describers(spark):
+    df = spark.createDataFrame(
+        [("Thîs", "bash", 3), ("teßt", None, 5)],
+        "word string, tool string, turn_idx int")
+    got = [r["n"] for r in df.select(TX.fold_accents("word").alias("n")).collect()]
+    assert got == ["this", "test"]
+    toks = spark.createDataFrame([("Thîs ís à teßt",)], "text string") \
+        .select(TX.normalized_tokens_col().alias("t")).first()["t"]
+    assert toks == ["this", "is", "a", "test"]
+    desc = df.select(TX.describe_mention("Tool", ["tool", "turn_idx"])
+                     .alias("d")).collect()
+    assert desc[0]["d"] == "Tool{tool = bash, turn_idx = 3}"
+    assert desc[1]["d"] == "Tool{tool = null, turn_idx = 5}"
+    pat = df.select(TX.pattern_description("tool ${tool} at ${turn_idx}!")
+                    .alias("d")).collect()
+    assert pat[0]["d"] == "tool bash at 3!"
+    assert pat[1]["d"] == "tool null at 5!"
+
+
+def test_annotation_terms_and_description_sort(spark):
+    from mimir_spark.operators import terms as TERMS
+
+    turns = spark.createDataFrame(
+        [("c1", 0, "tool", "bash", 9), ("c1", 1, "tool", "bash", 3),
+         ("c1", 2, "tool", "read", 9), ("c2", 0, "tool", None, 9)],
+        "conv_id string, turn_idx int, role string, tool string, size int")
+    at = TERMS.annotation_terms(turns, [("size", "GE", 5)], term_col="tool")
+    got = {r["term"]: (r["count"], r["length"]) for r in at.collect()}
+    assert got == {"bash": (1, 1), "read": (1, 1)}
+    t = spark.createDataFrame(
+        [("x", 5, "b"), ("y", 9, "a"), ("z", 2, "a")],
+        "term string, count long, description string")
+    order = [r["term"] for r in TERMS.sorted_terms(t, "description_asc").collect()]
+    assert order == ["y", "z", "x"]
