@@ -802,6 +802,58 @@ def q_cosine_dup_pairs(spark, sf_dir):
     return dedup.cosine_dup_pairs(_emb(spark, sf_dir), tau=0.5)
 
 
+def q_cosine_dup_pairs_lsh(spark, sf_dir):
+    """Scale-path cosine near-dup: LSH-band candidates + exact verify
+    (no O(n^2) join anywhere in the plan)."""
+    return dedup.cosine_dup_pairs_lsh(_emb(spark, sf_dir), tau=0.5)
+
+
+def _cosine_lsh_oracle() -> str:
+    """DuckDB replay of the banded-LSH cosine pipeline: the seeded
+    16-plane matrix as SQL literals, 4x4-bit signature bands, band
+    equi-join candidates, exact cosine verify on the rounded value."""
+    import numpy as np
+
+    planes = np.random.default_rng(42).standard_normal((16, 64))
+    cols = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[] AS p" + str(i)
+        for i, p in enumerate(planes))
+    bucket = "\n      + ".join(
+        f"(CASE WHEN list_dot_product(e.v, p.p{i}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes)))
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {i} AS band, (bucket >> {i * 4}) & 15 AS bkey FROM sig"
+        for i in range(4))
+    return f"""
+WITH planes AS (SELECT {cols}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id, e.v,
+    {bucket} AS bucket
+  FROM e CROSS JOIN planes p
+),
+bands AS (
+  {band_rows}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+    round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+          6) AS cosine
+  FROM cand c
+  JOIN sig a ON a.vec_id = c.id_a
+  JOIN sig b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.5
+"""
+
+
 _COSINE_DUP_ORACLE = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(
@@ -1044,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "cosine_dup_pairs": q_cosine_dup_pairs,
+        "cosine_dup_pairs_lsh": q_cosine_dup_pairs_lsh,
         # rows-only (non-SQL-expressible)
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1132,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_oracle(),
         "ann_topk_cosine": _ANN_ORACLE,
         "cosine_dup_pairs": _COSINE_DUP_ORACLE,
+        "cosine_dup_pairs_lsh": _cosine_lsh_oracle(),
         "transcript_rollup_1m": _TRANSCRIPT_ROLLUP_ORACLE,
         "lsh_ann_topk": _lsh_ann_oracle(),
     }

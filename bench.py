@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "minhash_lsh_pairs",
     "ann_topk_cosine",
+    "cosine_dup_pairs_lsh",
     "simhash_pairs",
 ]
 
@@ -107,6 +108,14 @@ def _ensure_corpus(spark) -> str:
     return str(out)
 
 
+def _events_warmup(spark):
+    """A tiny groupBy over events to spin up codegen + shuffle once."""
+    from pyspark.sql import functions as F
+
+    return (spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .limit(50_000).groupBy("event_type").agg(F.count("*").alias("n")))
+
+
 def _rollup_run(spark, corpus_path: str, warmup: bool = True) -> float:
     from mimir_spark.rollup import rollup_transcripts
 
@@ -139,6 +148,13 @@ def main() -> int:
         import __spark_entry__ as entry_mod
 
         queries = entry_mod.queries()
+        # steady-state headline numbers: warm the JVM (codegen, parquet
+        # footers, shuffle machinery) once — round-1 showed ~4.5s of
+        # first-query-only warmup polluting the first headline entry
+        for t in ("events", "documents", "lineitem", "embeddings"):
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+        _materialize(_events_warmup(spark))
+        note("headline warmup done")
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.monotonic()

@@ -60,6 +60,7 @@ import numpy as np
 
 MAGIC = 0xC5
 VERSION = 1
+LEGACY_VERSION = 0  # uncompressed: raw int64 ts + float64 vals
 _HEADER = struct.Struct("<BBIII")
 HEADER_LEN = _HEADER.size  # 14 bytes
 
@@ -375,10 +376,17 @@ def _to_signed64(u: int) -> int:
 
 
 def decode_chunk(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one chunk -> (ts int64 array, values float64 array)."""
+    """Decode one chunk -> (ts int64 array, values float64 array).
+
+    Reads the current format (v1) and the legacy uncompressed v0."""
     magic, version, n, ts_nbits, val_nbits = _HEADER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError(f"bad chunk magic {magic:#x}")
+    if version == LEGACY_VERSION:
+        ts = np.frombuffer(buf, dtype="<i8", count=n, offset=HEADER_LEN)
+        vals = np.frombuffer(buf, dtype="<f8", count=n,
+                             offset=HEADER_LEN + 8 * n)
+        return ts.astype(np.int64), vals.astype(np.float64)
     if version != VERSION:
         raise ValueError(f"unsupported chunk version {version}")
     ts_nbytes = (ts_nbits + 7) // 8
@@ -466,6 +474,48 @@ def decode_all(buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     if len(ts_parts) == 1:
         return ts_parts[0], val_parts[0]
     return np.concatenate(ts_parts), np.concatenate(val_parts)
+
+
+# ---------------------------------------------------------------------------
+# format upgrade (util/IndexUpgrader.java analogue: rewrite old-format
+# chunks in place to the current version)
+# ---------------------------------------------------------------------------
+
+def encode_chunk_v0(ts: np.ndarray, vals: np.ndarray) -> bytes:
+    """Write the LEGACY uncompressed format (v0): header + raw
+    little-endian int64 timestamps + float64 values. The current
+    encoder never produces this; it exists as the migration source for
+    upgrade tests and for ingesting stores written by pre-compression
+    builds."""
+    ts = np.ascontiguousarray(ts, dtype="<i8")
+    vals = np.ascontiguousarray(vals, dtype="<f8")
+    n = len(ts)
+    header = _HEADER.pack(MAGIC, LEGACY_VERSION, n, 64 * n, 64 * n)
+    return header + ts.tobytes() + vals.tobytes()
+
+
+def chunk_version(buf: bytes, offset: int = 0) -> int:
+    return _HEADER.unpack_from(buf, offset)[1]
+
+
+def upgrade_chunk(buf: bytes, max_points: int | None = None) -> bytes:
+    """Rewrite a chunk (or sub-chunk container) of ANY readable version
+    to the current format. Already-current containers are returned
+    unchanged (byte-stable upgrades are idempotent)."""
+    off, n = 0, len(buf)
+    current = True
+    while off < n:
+        if chunk_version(buf, off) != VERSION:
+            current = False
+            break
+        off += chunk_byte_len(buf, off)
+    if current:
+        return bytes(buf)
+    ts, vals = decode_all(bytes(buf))
+    if max_points and len(ts) > max_points:
+        starts = np.arange(0, len(ts), max_points, dtype=np.int64)
+        return b"".join(encode_many(ts, vals, starts))
+    return encode_chunk(ts, vals)
 
 
 def merge_chunks(chunks: list[bytes], max_points: int | None = None) -> bytes:

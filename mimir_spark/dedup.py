@@ -241,10 +241,69 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 4,
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def cosine_dup_pairs_lsh(embeddings: DataFrame, tau: float,
+                         n_planes: int = 16, bands: int = 4, seed: int = 42,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Near-dup pairs by cosine >= tau — the SCALE path: candidates
+    come from an equi-join on shared LSH signature bands (each band =
+    ``n_planes/bands`` hyperplane sign bits), then exact cosine
+    verification. Never a cross join: candidate count is driven by
+    band collisions, and the band rows carry only (id, band, key) —
+    vectors are re-joined by id for the verify step.
+
+    Recall is probabilistic (P[band clean] = (1 - angle/pi)^bits per
+    band), high for near-identical vectors (tau >= ~0.9) — the dedup
+    regime. The brute-force ``cosine_dup_pairs`` is the exact baseline.
+    """
+    from .similarity import hyperplane_signature
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    sigs = hyperplane_signature(embeddings, n_planes, dim, seed,
+                                id_col, vec_col)
+    bits = n_planes // bands
+    mask = (1 << bits) - 1
+    band_rows = sigs.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("bucket"), i * bits)
+                 .bitwiseAND(F.lit(mask)).alias("bkey"),
+            )
+            for i in range(bands)
+        ])).alias("b"),
+    ).select("vec_id", "b.band", "b.bkey")
+    x, y = band_rows.alias("x"), band_rows.alias("y")
+    cand = (
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bkey") == F.col("y.bkey"))
+               & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("id_a"),
+                F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
+    normed = sigs.select("vec_id", "v").withColumn(
+        "norm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
+                                   lambda a, x: a + x * x)))
+    a = normed.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                      F.col("norm").alias("na"))
+    b = normed.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                      F.col("norm").alias("nb"))
+    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p * q),
+                      F.lit(0.0), lambda acc, z: acc + z)
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_dup_pairs(embeddings: DataFrame, tau: float,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Pairs with cosine similarity >= tau. Brute-force block join —
-    the baseline; at scale use similarity.lsh_ann buckets instead."""
+    the exact baseline; the scale path is cosine_dup_pairs_lsh."""
     normed = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),

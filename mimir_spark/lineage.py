@@ -83,6 +83,34 @@ class TieredStore:
                 dropped.append(str(pdir))
         return dropped
 
+    def upgrade_tier(self, spark: SparkSession, tier: str,
+                     max_points: int | None = None) -> int:
+        """Rewrite every chunk in a tier to the current codec version —
+        the format-upgrade path (util/IndexUpgrader.java analogue:
+        old-format index rewritten in place). Partition-at-a-time and
+        idempotent: already-current chunks pass through byte-stable, a
+        crash mid-upgrade leaves whole partitions either old or new,
+        and re-running converges. Returns the partition count."""
+        from . import codec as _codec
+
+        @F.pandas_udf("binary")
+        def _up(chunks: pd.Series) -> pd.Series:
+            return chunks.map(
+                lambda b: _codec.upgrade_chunk(bytes(b), max_points))
+
+        n = 0
+        for pdir in sorted(self.tier_dir(tier).glob("p=*")):
+            pid = int(pdir.name.split("=", 1)[1])
+            df = (
+                spark.read.option("basePath", str(self.tier_dir(tier)))
+                .parquet(str(pdir))
+                .withColumn("chunk", _up("chunk"))
+                .drop("bucket_date", "p")
+            )
+            self.write_partition(df, tier, pid)
+            n += 1
+        return n
+
     # -- lineage -----------------------------------------------------------
 
     def lineage_dir(self, job_id: str) -> Path:

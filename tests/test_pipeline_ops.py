@@ -306,3 +306,27 @@ def test_lsh_bucketed_store_prunes_partitions(spark, emb, tmp_path_factory):
     n_all = len({f.split("bucket=")[1].split("/")[0]
                  for f in spark.read.parquet(path).inputFiles()})
     assert len(probes) < n_all
+
+
+def test_cosine_lsh_recall_and_no_nested_loop(spark):
+    """Scale-path cosine dedup: high recall on near-identical vectors,
+    and NO BroadcastNestedLoopJoin anywhere in the plan (the brute
+    force baseline's O(n^2) shape)."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 64))
+    near = base + rng.standard_normal((40, 64)) * 0.02  # cosine ~0.999
+    vecs = np.concatenate([base, near])
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    df = spark.createDataFrame(pdf, "vec_id long, embedding array<float>")
+    exact = dedup.cosine_dup_pairs(df, tau=0.99).toPandas()
+    approx = dedup.cosine_dup_pairs_lsh(df, tau=0.99).toPandas()
+    want = set(zip(exact.id_a, exact.id_b))
+    got = set(zip(approx.id_a, approx.id_b))
+    assert got <= want  # verify step makes it precise
+    assert len(got & want) / len(want) >= 0.9, (len(got), len(want))
+    plan = dedup.cosine_dup_pairs_lsh(df, tau=0.99) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
