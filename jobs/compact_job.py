@@ -1,0 +1,66 @@
+"""spark-submit entry point for tier compaction + retention expiry.
+
+The maintenance companion of jobs/rollup_job.py — the reference runs
+the same split: continuous ingest threads plus a compaction request
+that folds tails into the head (MimirIndex.requestCompactIndex;
+AtomicIndex.java:1280-1366) and a deleted-docs overlay for retention
+(MimirIndex.java:944-998).
+
+Usage:
+    spark-submit --py-files /tmp/mimir_spark.zip jobs/compact_job.py \
+        --store <store root> --cascade 1m:1h,1h:1d \
+        --expire 1m:2026-01-03 --max-points 65536
+
+--cascade from:to derives the coarser tier from the finer one
+  partition-by-partition (byte-identical to direct computation from
+  raw — the cascade invariant).
+--expire tier:cutoff drops whole date partitions older than the
+  cutoff (pure metadata, no rewrite).
+--upgrade tier rewrites old-format chunks to the current codec
+  version (IndexUpgrader analogue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True, help="tier store root")
+    ap.add_argument("--cascade", default="",
+                    help="comma list of from:to tier pairs, e.g. 1m:1h,1h:1d")
+    ap.add_argument("--expire", default="",
+                    help="comma list of tier:cutoff-date, e.g. 1m:2026-01-03")
+    ap.add_argument("--upgrade", default="",
+                    help="comma list of tiers to rewrite at the current codec version")
+    ap.add_argument("--max-points", type=int, default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from mimir_spark.lineage import TieredStore
+    from mimir_spark.session import get_spark
+
+    spark = get_spark("compact-job", cpus=args.cpus)
+    store = TieredStore(args.store)
+
+    for pair in filter(None, args.cascade.split(",")):
+        frm, to = pair.split(":")
+        n = store.compact_tier(spark, frm, to, max_points=args.max_points)
+        print(f"cascade {frm}->{to}: {n} partitions")
+    for pair in filter(None, args.expire.split(",")):
+        tier, cutoff = pair.split(":")
+        dropped = store.expire(tier, cutoff)
+        print(f"expire {tier} < {cutoff}: {len(dropped)} date partitions dropped")
+    for tier in filter(None, args.upgrade.split(",")):
+        n = store.upgrade_tier(spark, tier, max_points=args.max_points)
+        print(f"upgrade {tier}: {n} partitions rewritten")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -83,6 +83,32 @@ class TieredStore:
                 dropped.append(str(pdir))
         return dropped
 
+    def compact_tier(self, spark: SparkSession, from_tier: str,
+                     to_tier: str, max_points: int | None = None) -> int:
+        """Derive a coarser tier from a finer one, partition by
+        partition — the periodic compaction job
+        (MimirIndex.requestCompactIndex / AtomicIndex.compactIndex
+        analogue, AtomicIndex.java:1280-1366). Chunks merge in bucket
+        order, so the derived tier is byte-identical to one computed
+        directly from raw (the cascade invariant). Idempotent: each
+        partition write is an atomic replace. Returns partitions
+        written."""
+        from .rollup import cascade
+
+        n = 0
+        for pdir in sorted(self.tier_dir(from_tier).glob("p=*")):
+            pid = int(pdir.name.split("=", 1)[1])
+            fine = (
+                spark.read.option("basePath", str(self.tier_dir(from_tier)))
+                .parquet(str(pdir))
+                .withColumn("tier", F.lit(from_tier))
+                .drop("bucket_date", "p")
+            )
+            coarse = cascade(fine, to_tier, max_points=max_points)
+            self.write_partition(coarse, to_tier, pid)
+            n += 1
+        return n
+
     def upgrade_tier(self, spark: SparkSession, tier: str,
                      max_points: int | None = None) -> int:
         """Rewrite every chunk in a tier to the current codec version —

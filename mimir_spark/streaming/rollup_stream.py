@@ -34,10 +34,16 @@ def stream_turn_metrics(stream: DataFrame) -> DataFrame:
         metric.alias("metric"), v.alias("v"),
     )
     conv = F.col("conv_id")
+    role_name = (
+        F.when(F.col("role").isin("user", "assistant", "tool"),
+               F.concat(F.lit("role_mix_"), F.col("role")))
+        .otherwise(F.lit("role_mix_other"))
+    )
     entries = F.array(
         entry(F.lit("conv"), conv, F.lit("turn_rate"), F.lit(1.0)),
         entry(F.lit("conv"), conv, F.lit("token_volume"), tok),
-        entry(F.lit("conv"), conv, F.concat(F.lit("role_mix_"), F.col("role")), F.lit(1.0)),
+        entry(F.lit("conv"), conv, role_name,
+              F.when(F.col("role").isNotNull(), F.lit(1.0))),
         entry(F.lit("tool"), F.col("tool"), F.lit("turn_rate"),
               F.when(F.col("tool").isNotNull(), F.lit(1.0))),
         entry(F.lit("tool"), F.col("tool"), F.lit("token_volume"),
@@ -79,6 +85,120 @@ def streaming_rollup(stream: DataFrame, tier: str = "1m",
         .select("kind", "series_key", "metric",
                 F.col("w.start").alias("bucket_ts"),
                 "cnt", "sum_v", "min_v", "max_v")
+    )
+
+
+ROLLUP_CHUNK_SCHEMA = (
+    "kind string, series_key string, metric string, bucket_ts timestamp, "
+    "cnt long, sum_v double, min_v double, max_v double, last_v double, "
+    "chunk binary"
+)
+_STATE_SCHEMA = ("ts array<bigint>, conv array<string>, tidx array<bigint>, "
+                 "v array<double>")
+
+
+def streaming_rollup_chunks(stream: DataFrame, tier: str = "1m",
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): the
+    streaming analogue of the one-pass chunk writer. Per-series state
+    buffers the open buckets' points; once the event-time watermark
+    passes a bucket's end, that bucket is emitted with the SAME
+    aggregates and the SAME Gorilla-encoded chunk the batch path
+    produces (asserted bit-for-bit in tests). Idle series flush via
+    event-time timeouts, so emission doesn't require new data per key.
+
+    This is the RAM-batch -> immutable-tail lifecycle of the reference
+    (MimirIndex.java:611-628: postings buffered in RAM, searchable at
+    sync-to-disk) with the watermark playing the flush timer.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .. import codec
+    from ..rollup import TIER_US
+
+    unit_us = TIER_US[tier]
+
+    def fn(key, pdf_iter, state):
+        # restore buffered open points
+        if state.exists:
+            ts_l, conv_l, tidx_l, v_l = (list(x) for x in state.get)
+        else:
+            ts_l, conv_l, tidx_l, v_l = [], [], [], []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ts_new = pdf["ts"].astype("datetime64[us]").astype("int64")
+            # drop late-beyond-watermark rows at arrival (the built-in
+            # aggregation's rule); the batch cascade repairs the late
+            # tail at compaction time, as in the reference's LSM merge.
+            # Buffered rows are never late: they were on time when they
+            # arrived, and an on-time row's bucket is open by definition
+            on_time = ts_new.to_numpy() > wm_us
+            ts_l.extend(ts_new[on_time].tolist())
+            conv_l.extend(pdf["conv_id"][on_time].tolist())
+            tidx_l.extend(int(x) for x in pdf["turn_idx"][on_time])
+            v_l.extend(float(x) for x in pdf["v"][on_time])
+        if ts_l:
+            order = sorted(range(len(ts_l)),
+                           key=lambda i: (ts_l[i], conv_l[i], tidx_l[i]))
+            ts = np.array([ts_l[i] for i in order], dtype=np.int64)
+            conv = [conv_l[i] for i in order]
+            tidx = [tidx_l[i] for i in order]
+            v = np.array([v_l[i] for i in order], dtype=np.float64)
+            bucket = ts - ts % unit_us
+            closed = (bucket + unit_us) <= wm_us
+            rows = []
+            if closed.any():
+                cts, cv, cb = ts[closed], v[closed], bucket[closed]
+                starts = np.flatnonzero(
+                    np.concatenate([[True], cb[1:] != cb[:-1]]))
+                ends = np.append(starts[1:], len(cb))
+                chunks = codec.encode_many(cts, cv, starts)
+                for s, e, ch in zip(starts, ends, chunks):
+                    rows.append((
+                        key[0], key[1], key[2],
+                        np.int64(cb[s]).astype("datetime64[us]"),
+                        int(e - s), float(np.sum(cv[s:e])),
+                        float(np.min(cv[s:e])), float(np.max(cv[s:e])),
+                        float(cv[e - 1]), ch,
+                    ))
+            keep = ~closed
+            if keep.any():
+                state.update((
+                    ts[keep].tolist(),
+                    [c for c, k in zip(conv, keep) if k],
+                    [t for t, k in zip(tidx, keep) if k],
+                    v[keep].tolist(),
+                ))
+                # flush idle series when the watermark passes the
+                # earliest open bucket (must be > current watermark)
+                open_ends = bucket[keep] + unit_us
+                state.setTimeoutTimestamp(int(open_ends.min()) // 1000)
+            else:
+                state.remove()
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "kind", "series_key", "metric", "bucket_ts", "cnt",
+                    "sum_v", "min_v", "max_v", "last_v", "chunk"])
+        else:
+            state.remove()
+
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    points = stream_turn_metrics(deduped)
+    return (
+        points.groupBy("kind", "series_key", "metric")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ROLLUP_CHUNK_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
     )
 
 

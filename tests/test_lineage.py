@@ -96,3 +96,37 @@ def test_single_source_scan_per_invocation(spark, t_small):
                               num_partitions=6)
     assert len(rows) == 6
     assert len(calls) == 1
+
+
+def test_compact_tier_equals_direct(spark, source, tmp_path):
+    """Store-level compaction (1m -> 1h) must equal the directly
+    computed 1h tier — aggregates AND chunk bytes."""
+    s_fine = TieredStore(tmp_path / "fine")
+    run_rollup_job(spark, source, s_fine, "jobc", num_partitions=3,
+                   tiers=("1m",))
+    assert s_fine.compact_tier(spark, "1m", "1h") == 3
+
+    s_direct = TieredStore(tmp_path / "direct")
+    run_rollup_job(spark, source, s_direct, "jobc", num_partitions=3,
+                   tiers=("1m", "1h"))
+
+    a = _read_all(spark, s_fine, "1h")
+    b = _read_all(spark, s_direct, "1h")
+    cols = [c for c in a.columns if c != "chunk"]
+    pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["chunk"], b["chunk"]))
+
+
+def test_compact_job_cli(spark, source, tmp_path, capsys):
+    import sys as _sys
+
+    from jobs.compact_job import main as compact_main
+
+    store = TieredStore(tmp_path / "clistore")
+    run_rollup_job(spark, source, store, "jobcli", num_partitions=2,
+                   tiers=("1m",))
+    rc = compact_main(["--store", str(tmp_path / "clistore"),
+                       "--cascade", "1m:1h,1m:1d"])
+    assert rc == 0
+    assert store.read_tier(spark, "1h").count() > 0
+    assert store.read_tier(spark, "1d").count() > 0

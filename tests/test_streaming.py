@@ -59,3 +59,63 @@ def test_streaming_emits_most_windows(spark, t_small_df, stream_dir):
         q.stop()
     total = rollup_aggs(turn_metrics(ingest(t_small_df)), "1h").count()
     assert got >= 0.8 * total
+
+
+def test_streaming_chunks_match_batch(spark, t_small, t_small_df, stream_dir):
+    """The stateful chunk writer (applyInPandasWithState) must emit the
+    SAME Gorilla chunks as the batch one-pass writer, bit-for-bit, for
+    every bucket it closes."""
+    import numpy as np
+
+    from mimir_spark import codec
+    from mimir_spark.rollup import rollup_points
+    from mimir_spark.streaming.rollup_stream import streaming_rollup_chunks
+
+    # time-ordered micro-batches (files written sequentially in ts
+    # order) so the watermark advances monotonically and every bucket
+    # is complete when it closes — the in-order ingest contract
+    import time as _time
+
+    d = tmp_path_for_chunks = stream_dir + "_ordered"
+    import os
+    os.makedirs(d, exist_ok=True)
+    src = t_small.sort_values(["ts", "conv_id", "turn_idx"]).reset_index(drop=True)
+    slices = np.array_split(src, 4)
+    for i, sl in enumerate(slices):
+        sl.to_parquet(f"{d}/{i:03d}.parquet", index=False,
+                      coerce_timestamps="us", allow_truncated_timestamps=True)
+        _time.sleep(1.1)  # distinct mtimes -> chronological source order
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_rollup_chunks(stream, tier="1h")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("schunks")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM schunks").toPandas()
+    finally:
+        q.stop()
+
+    assert len(got) > 0, "stream must close some buckets"
+    batch = rollup_points(turn_metrics(ingest(t_small_df)), tiers=("1h",)) \
+        .toPandas()
+    bkey = ["kind", "series_key", "metric", "bucket_ts"]
+    got["bucket_ts"] = got["bucket_ts"].astype("datetime64[us]")
+    batch["bucket_ts"] = batch["bucket_ts"].astype("datetime64[us]")
+    merged = got.merge(batch, on=bkey, suffixes=("", "_b"))
+    assert len(merged) == len(got), "every emitted bucket must exist in batch"
+    for c in ("cnt", "sum_v", "min_v", "max_v", "last_v"):
+        assert (merged[c] == merged[f"{c}_b"]).all(), c
+    for s, b in zip(merged["chunk"], merged["chunk_b"]):
+        st, sv = codec.decode_all(bytes(s))
+        bt, bv = codec.decode_all(bytes(b))
+        assert np.array_equal(st, bt)
+        assert np.array_equal(sv.view(np.uint64), bv.view(np.uint64))
+        assert bytes(s) == bytes(b)  # bit-for-bit, not just value-equal
