@@ -34,6 +34,12 @@ from mimir_spark.operators import terms as TERMS
 DEC = "decimal(18,2)"
 _ORD = lambda: F.struct(F.col("ts"), F.col("event_id"))  # noqa: E731
 
+# committed deterministic transcript corpus — the driver-oracle input
+# for the flagship pipeline entries (regenerated == committed is a test)
+_TRANSCRIPT_FIXTURE = str(
+    pathlib.Path(__file__).resolve().parent / "fixtures" / "transcripts_small.parquet"
+)
+
 
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -313,6 +319,118 @@ WHERE a.event_type = 'view' AND b.event_type = 'purchase'
 """
 
 
+def q_repeats_query(spark, sf_dir):
+    """RepeatsQuery +2..3 over the event stream: runs of 2..3
+    CONSECUTIVE 'click' events (each starting where the previous
+    ends)."""
+    from mimir_spark.operators.hits import repeats_query, term_query
+
+    turns = _events_as_turns(spark, sf_dir)
+    return repeats_query(term_query(turns, "role", "click"), 2, 3)
+
+
+_REPEATS_ORACLE = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS pos,
+         event_type
+  FROM events
+),
+c AS (SELECT conv_id, pos FROM t WHERE event_type = 'click'),
+runs2 AS (
+  SELECT a.conv_id, a.pos, 2 AS len
+  FROM c a JOIN c b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1
+),
+runs3 AS (
+  SELECT a.conv_id, a.pos, 3 AS len
+  FROM c a JOIN c b ON a.conv_id = b.conv_id AND b.pos = a.pos + 1
+           JOIN c d ON a.conv_id = d.conv_id AND d.pos = a.pos + 2
+)
+SELECT DISTINCT conv_id, CAST(pos AS INT) AS pos, CAST(len AS INT) AS len
+FROM (SELECT * FROM runs2 UNION ALL SELECT * FROM runs3)
+"""
+
+
+def q_within_query(spark, sf_dir):
+    """WithinQuery (IN): purchase hits contained in the document span
+    of high-activity users ({Document n_turns >= 50})."""
+    from mimir_spark.operators.hits import (document_query, term_query,
+                                            within_query)
+
+    turns = _events_as_turns(spark, sf_dir)
+    inner = term_query(turns, "role", "purchase")
+    outer = document_query(turns, F.col("n_turns") >= 50)
+    return within_query(inner, outer)
+
+
+_WITHIN_ORACLE = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+           AS pos,
+         event_type,
+         count(*) OVER (PARTITION BY user_id) AS n_turns
+  FROM events
+)
+SELECT conv_id, CAST(pos AS INT) AS pos, CAST(1 AS INT) AS len
+FROM t WHERE event_type = 'purchase' AND n_turns >= 50
+"""
+
+
+def q_contains_query(spark, sf_dir):
+    """ContainsQuery (OVER): document spans of high-activity users that
+    contain at least one purchase."""
+    from mimir_spark.operators.hits import (contains_query, document_query,
+                                            term_query)
+
+    turns = _events_as_turns(spark, sf_dir)
+    outer = document_query(turns, F.col("n_turns") >= 50)
+    inner = term_query(turns, "role", "purchase")
+    return contains_query(outer, inner)
+
+
+_CONTAINS_ORACLE = """
+WITH s AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, count(*) AS n_turns,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_buy
+  FROM events GROUP BY user_id
+)
+SELECT conv_id, CAST(0 AS INT) AS pos, CAST(n_turns AS INT) AS len
+FROM s WHERE n_turns >= 50 AND n_buy > 0
+"""
+
+
+def q_rollup_events_1h_salted(spark, sf_dir):
+    """The explicit two-stage SKEW-SALTED aggregation plan (partial per
+    (series, bucket, salt), final per (series, bucket)) — must equal
+    the plain 1h rollup exactly."""
+    from mimir_spark.rollup import rollup_aggs
+
+    ev = _events(spark, sf_dir)
+    # decimal v keeps the two-stage double sum order-independent;
+    # constant conv_id makes the last_v order key (ts, '', event_id)
+    # match the oracle's (ts, event_id)
+    points = ev.select(
+        F.lit("e").alias("kind"),
+        F.col("event_type").alias("series_key"),
+        F.lit("v").alias("metric"),
+        "ts",
+        F.lit("").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+    out = rollup_aggs(points, "1h", salt_buckets=8)
+    return out.select(
+        F.col("series_key").alias("event_type"), "bucket_ts",
+        "cnt",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+        F.col("last_v").cast("double").alias("last_v"),
+    )
+
+
 def q_users_view_no_purchase(spark, sf_dir):
     """MinusQuery analogue: doc-set difference via anti-join."""
     ev = _events(spark, sf_dir)
@@ -359,6 +477,33 @@ def q_part_type_facet(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # relational coverage (lineitem/orders/customer/part)
 # ---------------------------------------------------------------------------
+
+def q_measurement_filter(spark, sf_dir):
+    """Measurement-spec rewrite through the driver gate: parts viewed
+    as normalized length measurements (p_size cm), filtered by the
+    rewritten '5 to 20 cm' interval-overlap predicate."""
+    from mimir_spark.functions.measurement import spec_predicate
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    meas = part.select(
+        "p_partkey",
+        F.lit("m").alias("normalized_unit"),
+        (F.col("p_size") * 0.01).alias("normalized_min"),
+        (F.col("p_size") * 0.01).alias("normalized_max"),
+    )
+    return meas.filter(spec_predicate("5 to 20 cm")).select("p_partkey")
+
+
+def _measurement_oracle() -> str:
+    from mimir_spark.functions.measurement import parse_spec
+
+    base, lo, hi = parse_spec("5 to 20 cm")
+    assert base == "m"
+    return f"""
+SELECT p_partkey FROM part
+WHERE p_size * 0.01 <= {hi!r} AND p_size * 0.01 >= {lo!r}
+"""
+
 
 def q_q1_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -480,6 +625,21 @@ FROM toks WHERE length(term) > 0
 GROUP BY term
 HAVING count(DISTINCT doc_id) = 5
 """
+
+
+def q_annotation_terms(spark, sf_dir):
+    """AnnotationTermsQuery over the transcript fixture: tool mentions
+    (with counts and lengths) in turns satisfying a typed constraint."""
+    t = spark.read.parquet(_TRANSCRIPT_FIXTURE)
+    return TERMS.annotation_terms(t, [("turn_idx", "GE", 3)], term_col="tool")
+
+
+_ANNOTATION_TERMS_ORACLE = f"""
+SELECT tool AS term, count(*) AS count, CAST(1 AS INT) AS length
+FROM read_parquet('{{fixture}}')
+WHERE tool IS NOT NULL AND turn_idx >= 3
+GROUP BY tool
+""".replace("{fixture}", _TRANSCRIPT_FIXTURE)
 
 
 def q_or_terms_first(spark, sf_dir):
@@ -965,11 +1125,6 @@ LIMIT 10
 """
 
 
-_TRANSCRIPT_FIXTURE = str(
-    pathlib.Path(__file__).resolve().parent / "fixtures" / "transcripts_small.parquet"
-)
-
-
 def q_transcript_rollup_1m(spark, sf_dir):
     """Flagship engine path on the committed deterministic transcript
     corpus: ingest (dedup) -> metric explode -> one-pass tiered rollup
@@ -1073,8 +1228,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_by_value": q_topk_users_by_value,
         "seq_click_purchase": q_seq_click_purchase,
         "parsed_seq_query": q_parsed_seq_query,
+        "repeats_query": q_repeats_query,
+        "within_query": q_within_query,
+        "contains_query": q_contains_query,
+        "rollup_events_1h_salted": q_rollup_events_1h_salted,
         "users_view_no_purchase": q_users_view_no_purchase,
         # relational coverage
+        "measurement_filter": q_measurement_filter,
         "q1_pricing_summary": q_q1_pricing_summary,
         "revenue_by_segment": q_revenue_by_segment,
         "top_brands_by_revenue": q_top_brands_by_revenue,
@@ -1083,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_topk_documents": q_terms_topk_documents,
         "documents_and_terms": q_documents_and_terms,
         "documents_or_terms": q_documents_or_terms,
+        "annotation_terms": q_annotation_terms,
         "or_terms_first": q_or_terms_first,
         "terms_by_description": q_terms_by_description,
         "bm25_scores": q_bm25_scores,
@@ -1140,10 +1301,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "seq_click_purchase": _SEQ_ORACLE,
         "parsed_seq_query": _PARSED_SEQ_ORACLE,
+        "repeats_query": _REPEATS_ORACLE,
+        "within_query": _WITHIN_ORACLE,
+        "contains_query": _CONTAINS_ORACLE,
+        "rollup_events_1h_salted": _ROLLUP_ORACLE.format(trunc="hour"),
+        "annotation_terms": _ANNOTATION_TERMS_ORACLE,
         "users_view_no_purchase": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
             AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'purchase')
         """,
+        "measurement_filter": _measurement_oracle(),
         "q1_pricing_summary": _Q1_ORACLE,
         "revenue_by_segment": """
             SELECT c_mktsegment,
