@@ -330,3 +330,40 @@ def test_cosine_lsh_recall_and_no_nested_loop(spark):
     plan = dedup.cosine_dup_pairs_lsh(df, tau=0.99) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_end_to_end_ann(spark, tmp_path_factory):
+    """Full multimodal composition: binary media table -> parquet
+    round-trip (binary + struct meta survive) -> Arrow feature
+    extraction -> embedding-cosine ANN over the extracted features —
+    the training-data pipeline the engine exists to serve."""
+    from mimir_spark.multimodal import extract_features, synthetic_media_df
+
+    media = synthetic_media_df(spark, 60)
+    path = str(tmp_path_factory.mktemp("media") / "t")
+    media.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    assert back.schema["payload"].dataType.typeName() == "binary"
+    assert back.schema["meta"].dataType.typeName() == "struct"
+
+    feats = extract_features(back, feat_dim=32)
+    emb = feats.select(F.col("media_id").alias("vec_id"),
+                       F.col("feat").alias("embedding"))
+    q = emb.filter("vec_id = 7").first()["embedding"]
+    top = similarity.brute_force_topk(emb, [float(x) for x in q], 3).toPandas()
+    # the query item itself ranks first with cosine 1.0
+    assert top["vec_id"].iloc[0] == 7 and top["cosine"].iloc[0] == 1.0
+    # dedup over extracted features: the LSH path is precise (its
+    # verify step is exact), so its pairs are a subset of brute force
+    tau = 0.9
+    exact = {(r.id_a, r.id_b)
+             for r in dedup.cosine_dup_pairs(emb, tau).collect()}
+    approx = {(r.id_a, r.id_b)
+              for r in dedup.cosine_dup_pairs_lsh(emb, tau).collect()}
+    assert approx <= exact
+    # recompute is deterministic end to end
+    again = extract_features(back, feat_dim=32).toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    first = feats.toPandas().sort_values("media_id").reset_index(drop=True)
+    assert all(np.array_equal(x, y) for x, y in zip(first["feat"], again["feat"]))
