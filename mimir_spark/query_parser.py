@@ -377,3 +377,62 @@ def run_query(query: str, turns: DataFrame, text_col: str = "text",
     """parse + execute in one call (QueryEngine.getQueryRunner(String)
     analogue, search/QueryEngine.java:434-441)."""
     return execute(parse(query), turns, text_col, resolver)
+
+
+# ---------------------------------------------------------------------------
+# canonical renderer (AST -> query string; parse(render(x)) == x)
+# ---------------------------------------------------------------------------
+
+_ESCAPE_RE = re.compile(r'([(){}\[\]:,=<>|&+?."\\ ])')
+
+
+def _esc(s: str) -> str:
+    if s in _KEYWORDS:  # keywords neutralize by quoting, as Mimir does
+        return f'"{s}"'
+    return _ESCAPE_RE.sub(r"\\\1", s)
+
+
+def render(node) -> str:
+    """Serialize an AST back to the query language. The output is fully
+    parenthesized/escaped, so parse(render(x)) == x for every AST —
+    the round-trip property the fuzz tests assert."""
+    if isinstance(node, Term):
+        if node.index is not None:
+            return f"{_esc(node.index)}:{_esc(node.value)}"
+        return _esc(node.value)
+    if isinstance(node, Ann):
+        parts = [_esc(node.type)]
+        for feat, op, val in node.constraints:
+            if op == "REGEX":
+                parts.append(f'{_esc(feat)}.REGEX("{_q(val)}")')
+                continue
+            sym = {"EQ": "=", "LT": "<", "GT": ">", "LE": "<=", "GE": ">="}[op]
+            if isinstance(val, str):
+                parts.append(f'{_esc(feat)}{sym}"{_q(val)}"')
+            else:
+                parts.append(f"{_esc(feat)}{sym}{val}")
+        return "{" + " ".join(parts) + "}"
+    if isinstance(node, Seq):
+        out = [render_grouped(node.items[0])]
+        for (lo, hi), item in zip(node.gaps, node.items[1:]):
+            if (lo, hi) != (0, 0):
+                out.append(f"[{lo}..{hi}]")
+            out.append(render_grouped(item))
+        return " ".join(out)
+    if isinstance(node, Repeat):
+        return f"{render_grouped(node.child)}+{node.m}..{node.n}"
+    if isinstance(node, Bin):
+        return (f"{render_grouped(node.left)} {node.op} "
+                f"{render_grouped(node.right)}")
+    raise QueryParseError(f"cannot render {node!r}")
+
+
+def _q(s: str) -> str:
+    return str(s).replace("\\", "\\\\").replace('"', '\\"')
+
+
+def render_grouped(node) -> str:
+    """render with parens around compound nodes (keeps precedence)."""
+    if isinstance(node, (Seq, Bin, Repeat)):
+        return f"({render(node)})"
+    return render(node)

@@ -144,3 +144,60 @@ def test_gap_subset_invariant(turns):
     no_gap = set(_hits(run_query("fix output", turns)))
     gap = set(_hits(run_query("fix [3] output", turns)))
     assert no_gap <= gap
+
+
+# ---------------------------------------------------------------------------
+# property-based round trip: parse(render(ast)) == ast
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True) \
+    .filter(lambda s: s.upper() not in {"OR", "AND", "IN", "OVER",
+                                        "MINUS", "REGEX"})
+_word = st.one_of(_ident, st.sampled_from(
+    ["AND", "OR", "IN", "teßt", "€12", "a.b", "x+y", "c:d"]))
+
+
+def _terms():
+    return st.one_of(
+        st.builds(Term, _word),
+        st.builds(Term, _word, index=_ident),
+    )
+
+
+def _anns():
+    value = st.one_of(_word, st.integers(-50, 50),
+                      st.floats(-5, 5, allow_nan=False).map(
+                          lambda f: round(f, 3)))
+    con = st.tuples(_ident, st.sampled_from(["EQ", "LT", "GT", "LE", "GE"]),
+                    value)
+    regex_con = st.tuples(_ident, st.just("REGEX"), _ident)
+    return st.builds(
+        lambda t, cs: Ann(t, tuple(cs)),
+        _ident, st.lists(st.one_of(con, regex_con), max_size=3))
+
+
+def _ast(depth=3):
+    leaf = st.one_of(_terms(), _anns())
+    if depth == 0:
+        return leaf
+    sub = _ast(depth - 1)
+    gap = st.tuples(st.integers(0, 5), st.integers(0, 5)).map(
+        lambda g: (min(g), max(g)))
+    seq = st.builds(
+        lambda items, gaps: Seq(tuple(items), tuple(gaps[:len(items) - 1])),
+        st.lists(sub, min_size=2, max_size=3),
+        st.lists(gap, min_size=2, max_size=2))
+    rep = st.builds(lambda c, m, extra: Repeat(c, m, m + extra),
+                    sub, st.integers(1, 3), st.integers(0, 2))
+    binop = st.builds(Bin, st.sampled_from(["OR", "AND", "IN", "OVER",
+                                            "MINUS"]), sub, sub)
+    return st.one_of(leaf, seq, rep, binop)
+
+
+@given(_ast())
+@settings(max_examples=200, deadline=None)
+def test_render_parse_roundtrip(ast):
+    assert parse(QP.render(ast)) == ast
