@@ -16,6 +16,7 @@ Determinism rules shared by both sides:
 
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 from collections.abc import Callable
@@ -25,6 +26,26 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make mimir_spark importable in PYTHON WORKERS regardless of the
+    harness's cwd: mapInPandas/pandas-UDF closures deserialize by
+    importing their defining module on the worker, which only sees the
+    driver's cwd/PYTHONPATH. Zip the package once and addPyFile it —
+    the same mechanism spark-submit --py-files uses."""
+    sc = spark.sparkContext
+    if getattr(sc, "_mimir_spark_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    repo = pathlib.Path(__file__).resolve().parent
+    base = pathlib.Path(tempfile.gettempdir()) / f"mimir_spark_pyfiles_{os.getpid()}"
+    zpath = shutil.make_archive(str(base), "zip", root_dir=str(repo),
+                                base_dir="mimir_spark")
+    sc.addPyFile(zpath)
+    sc._mimir_spark_shipped = True
 
 from mimir_spark import dedup, similarity
 from mimir_spark.functions import text as TX
@@ -1210,11 +1231,25 @@ def q_multimodal_features(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: 1-minute rollup tier
     over the events series table."""
+    _ship_package(spark)
     return q_rollup_events_1m(spark, "/root/testdata/sf0.001")
 
 
+def _with_shipping(fn):
+    def wrapped(spark, sf_dir):
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = fn.__name__
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _with_shipping(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES = {
         # time-series rollup surface
         "rollup_events_1m": q_rollup_events_1m,
         "rollup_events_1h_cascade": q_rollup_events_1h_cascade,
