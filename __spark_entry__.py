@@ -28,24 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _ship_package(spark: SparkSession) -> None:
-    """Make mimir_spark importable in PYTHON WORKERS regardless of the
-    harness's cwd: mapInPandas/pandas-UDF closures deserialize by
-    importing their defining module on the worker, which only sees the
-    driver's cwd/PYTHONPATH. Zip the package once and addPyFile it —
-    the same mechanism spark-submit --py-files uses."""
-    sc = spark.sparkContext
-    if getattr(sc, "_mimir_spark_shipped", False):
-        return
-    import shutil
-    import tempfile
-
-    repo = pathlib.Path(__file__).resolve().parent
-    base = pathlib.Path(tempfile.gettempdir()) / f"mimir_spark_pyfiles_{os.getpid()}"
-    zpath = shutil.make_archive(str(base), "zip", root_dir=str(repo),
-                                base_dir="mimir_spark")
-    sc.addPyFile(zpath)
-    sc._mimir_spark_shipped = True
+from mimir_spark.session import ship_package as _ship_package  # noqa: E402
 
 from mimir_spark import dedup, similarity
 from mimir_spark.functions import text as TX

@@ -50,4 +50,26 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make mimir_spark importable in PYTHON WORKERS regardless of cwd:
+    Arrow-UDF closures deserialize by importing their defining module
+    on the worker, which sees only the worker's cwd/PYTHONPATH. Zips
+    the package once per process and addPyFile()s it — the same
+    mechanism spark-submit --py-files uses (no-op when already added)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_mimir_spark_shipped", False):
+        return
+    import pathlib
+    import shutil
+    import tempfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    base = pathlib.Path(tempfile.gettempdir()) / f"mimir_spark_pyfiles_{os.getpid()}"
+    zpath = shutil.make_archive(str(base), "zip", root_dir=str(pkg_dir.parent),
+                                base_dir="mimir_spark")
+    sc.addPyFile(zpath)
+    sc._mimir_spark_shipped = True
