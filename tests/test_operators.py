@@ -233,3 +233,40 @@ def test_top_k_terms_deterministic(tokens):
     assert a == b and len(a) == 10
     counts = [c for (_, c) in a]
     assert counts == sorted(counts, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# external binding sources (SPARQL-helper analogue)
+# ---------------------------------------------------------------------------
+
+def test_external_bindings_restrict_and_annotate(spark, tmp_path):
+    import json
+
+    from mimir_spark.sources.external import (external_annotate,
+                                              external_restrict,
+                                              load_bindings)
+
+    hits = spark.createDataFrame(
+        [("c1", 0, 1), ("c2", 1, 1), ("c3", 2, 2)],
+        "conv_id string, pos int, len int")
+
+    jpath = tmp_path / "bindings.json"
+    jpath.write_text("\n".join(json.dumps({"conv_id": c, "label": f"L{c}"})
+                               for c in ["c1", "c3", "c9"]))
+    b = load_bindings(spark, str(jpath))
+    got = external_restrict(hits, b).toPandas().sort_values("conv_id")
+    assert got["conv_id"].tolist() == ["c1", "c3"]
+    # plan: broadcast semi-join, never a shuffle of the big side
+    plan = external_restrict(hits, b)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+    ann = external_annotate(hits, b, on="conv_id").toPandas() \
+        .sort_values("conv_id")
+    assert ann.loc[ann.conv_id == "c1", "label"].iloc[0] == "Lc1"
+    assert ann["label"].isna().sum() == 1  # c2 has no binding
+
+    cpath = tmp_path / "bindings.csv"
+    cpath.write_text("conv_id\nc2\n")
+    b2 = load_bindings(spark, str(cpath))
+    assert external_restrict(hits, b2).count() == 1
