@@ -1147,13 +1147,16 @@ def q_transcript_rollup_1m(spark, sf_dir):
 # dedup -> metric explode (incl. role_mix catch-all) -> 1m buckets.
 # All metric values are small integers, so float sums are exact in any
 # order; last_v is keyed on the total (ts, conv_id, turn_idx) order —
-# the same key the engine's in-partition sort uses.
-_TRANSCRIPT_ROLLUP_ORACLE = f"""
+# the same key the engine's in-partition sort uses. ``extra_where``
+# injects overlay predicates (the retention entry).
+def _transcript_rollup_oracle(extra_where: str = "") -> str:
+    return f"""
 WITH base AS (
   SELECT conv_id, turn_idx, role, tool, ts, text,
     CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
          ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) END AS n_tok
   FROM read_parquet('{_TRANSCRIPT_FIXTURE}')
+  WHERE TRUE {extra_where}
 ),
 dedup AS (
   SELECT * FROM (
@@ -1198,6 +1201,25 @@ SELECT kind, series_key, metric, bucket_ts,
 FROM ranked
 GROUP BY kind, series_key, metric, bucket_ts
 """
+
+
+_TOMBSTONED = ["conv-00000007", "conv-00000010", "conv-00000042"]
+
+
+def q_retention_overlay_rollup(spark, sf_dir):
+    """Deleted-docs overlay (retention.apply_tombstones) composed with
+    the flagship rollup: tombstoned conversations vanish from every
+    series before aggregation — the read-time anti-join overlay."""
+    from mimir_spark.ingest import ingest, turn_metrics
+    from mimir_spark.retention import apply_tombstones
+    from mimir_spark.rollup import rollup_points
+
+    t = spark.read.parquet(_TRANSCRIPT_FIXTURE)
+    tomb = spark.createDataFrame([(c,) for c in _TOMBSTONED], "conv_id string")
+    live = apply_tombstones(t, tomb)
+    rolled = rollup_points(turn_metrics(ingest(live)), tiers=("1m",))
+    return rolled.select("kind", "series_key", "metric", "bucket_ts",
+                         "cnt", "sum_v", "min_v", "max_v", "last_v")
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1280,6 +1302,7 @@ _QUERIES = {
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "transcript_rollup_1m": q_transcript_rollup_1m,
+        "retention_overlay_rollup": q_retention_overlay_rollup,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1371,6 +1394,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_cosine": _ANN_ORACLE,
         "cosine_dup_pairs": _COSINE_DUP_ORACLE,
         "cosine_dup_pairs_lsh": _cosine_lsh_oracle(),
-        "transcript_rollup_1m": _TRANSCRIPT_ROLLUP_ORACLE,
+        "transcript_rollup_1m": _transcript_rollup_oracle(),
+        "retention_overlay_rollup": _transcript_rollup_oracle(
+            "AND conv_id NOT IN ("
+            + ", ".join(f"'{c}'" for c in _TOMBSTONED) + ")"),
         "lsh_ann_topk": _lsh_ann_oracle(),
     }
