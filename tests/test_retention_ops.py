@@ -74,3 +74,18 @@ def test_custom_series_extractor(turns):
     assert kinds == {"conv", "tool", "role"}
     role_pts = points.filter("kind = 'role'")
     assert role_pts.count() == narrow.count()  # one per turn
+
+
+def test_table_shim_roundtrip(spark, tmp_path):
+    """sources.tables: parquet path branch round-trips with
+    partitioning; Iceberg branch is config-gated (no jars here)."""
+    from mimir_spark.sources.tables import (iceberg_available, read_table,
+                                            write_table)
+
+    assert iceberg_available(spark) is False
+    df = spark.range(0, 20).withColumn("part", (F.col("id") % 2).cast("int"))
+    path = str(tmp_path / "t")
+    write_table(df, path, partition_by=["part"])
+    back = read_table(spark, path)
+    assert back.count() == 20
+    assert sorted(back.columns) == ["id", "part"]
