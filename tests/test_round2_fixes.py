@@ -169,3 +169,35 @@ def test_annotation_terms_and_description_sort(spark):
         "term string, count long, description string")
     order = [r["term"] for r in TERMS.sorted_terms(t, "description_asc").collect()]
     assert order == ["y", "z", "x"]
+
+
+def test_extreme_hot_conversation(spark):
+    """Skew stress: one conversation with 60k turns inside a single
+    day — the (series, coarse-bucket) partitioning puts it on one task,
+    so the Arrow pass and the chunk encoder must stay bounded via the
+    max_points sub-chunk container and produce exact aggregates."""
+    n = 60_000
+    pdf = pd.DataFrame({
+        "conv_id": "hot",
+        "turn_idx": np.arange(n, dtype=np.int32),
+        "role": np.where(np.arange(n) % 3 == 0, "user", "assistant"),
+        "text": "a b c",
+        "tool": None,
+        "ts": pd.to_datetime(1_767_571_200_000_000 + np.arange(n) * 1_000_000,
+                             unit="us"),
+    })
+    from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
+    from mimir_spark.rollup import rollup_transcripts
+
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    out = rollup_transcripts(df, max_points=4096).toPandas()
+    day = out[(out.tier == "1d") & (out.metric == "turn_rate")]
+    assert day["cnt"].sum() == n
+    # the giant group decodes back to every point, bounded sub-chunks
+    ch = bytes(day.iloc[0]["chunk"])
+    assert codec.chunk_n_points(ch) <= 4096
+    ts, v = codec.decode_all(ch)
+    assert len(ts) == day.iloc[0]["cnt"]
+    # 1m tier: 60k turns over 1000 minutes -> 1000 buckets of 60
+    m = out[(out.tier == "1m") & (out.metric == "turn_rate")]
+    assert len(m) == 1000 and (m["cnt"] == 60).all()
