@@ -8,8 +8,11 @@ Design notes for 100 TB:
 - pair generation always goes through a bucket key (shingle, LSH band,
   simhash band) so candidate pairs are produced by an equi-join, never
   a cross join;
-- all hash functions are md5/xxhash-based and string-comparable, so the
-  DuckDB oracle can replay them exactly (no platform-dependent hashing).
+- all hash functions are md5-derived and engine-portable, so the DuckDB
+  oracle replays every pipeline exactly (no platform-dependent hashing);
+- hot keys are capped before any self-join (``max_df``): one stop-phrase
+  shingle with df=10^6 would otherwise alone contribute 10^12 candidate
+  pairs.
 """
 
 from __future__ import annotations
