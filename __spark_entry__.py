@@ -201,6 +201,37 @@ FROM w
 """
 
 
+def q_asof_enrich(spark, sf_dir):
+    """As-of join (the time-series workhorse Spark lacks natively):
+    each event enriched with its user's latest completed hourly rollup
+    value at or before the event — union + ignore-nulls window, ONE
+    shuffle, no range join (operators/joins.py)."""
+    from mimir_spark.operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("ts"))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("hsum"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = asof_join(left, hourly, on="ts", by="user_id",
+                    value_cols=["hsum"])
+    return out.select("event_id", "user_id", "hsum_asof")
+
+
+_ASOF_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hts,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hsum
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, h.hsum AS hsum_asof
+FROM events e
+ASOF LEFT JOIN hourly h
+  ON e.user_id = h.user_id AND h.hts <= e.ts
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization: 30-min inactivity gap; per-user session count and
     longest session (events)."""
@@ -1265,6 +1296,7 @@ _QUERIES = {
         "gapfill_locf_events_1h": q_gapfill_locf_events_1h,
         "gapfill_linear_events_1h": q_gapfill_linear_events_1h,
         "sessionize_events": q_sessionize_events,
+        "asof_enrich": q_asof_enrich,
         "topk_users_by_value": q_topk_users_by_value,
         "seq_click_purchase": q_seq_click_purchase,
         "parsed_seq_query": q_parsed_seq_query,
@@ -1334,6 +1366,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_locf_events_1h": _GAPFILL_LOCF_ORACLE,
         "gapfill_linear_events_1h": _GAPFILL_LINEAR_ORACLE,
         "sessionize_events": _SESSIONIZE_ORACLE,
+        "asof_enrich": _ASOF_ORACLE,
         "topk_users_by_value": """
             SELECT user_id,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
