@@ -317,6 +317,12 @@ def _pack_groups(values: np.ndarray, nbits: np.ndarray,
     return packed, offsets, group_bits
 
 
+# fixed layout of a 1-point chunk: header(n=1, 64, 64) + 8B ts + 8B val
+_SINGLE_HEADER = np.frombuffer(_HEADER.pack(MAGIC, VERSION, 1, 64, 64),
+                               dtype=np.uint8)
+_SINGLE_LEN = HEADER_LEN + 16
+
+
 def encode_many(ts: np.ndarray, vals: np.ndarray,
                 group_starts: np.ndarray) -> list[bytes]:
     """Encode many chunks in one vectorized pass.
@@ -324,6 +330,12 @@ def encode_many(ts: np.ndarray, vals: np.ndarray,
     ``ts``/``vals`` are flat arrays; ``group_starts`` are the start
     indices of contiguous groups (first element must be 0). Returns one
     chunk (bytes) per group. Empty groups yield a header-only chunk.
+
+    Single-point groups — the dominant case at the finest tier, where
+    most (series, minute) buckets hold one point — bypass the bitstream
+    machinery entirely: their chunk is a fixed 30-byte record (constant
+    header + big-endian ts + big-endian value bits) assembled as one
+    numpy matrix, byte-identical to the general encoder's output.
     """
     ts = np.ascontiguousarray(ts, dtype=np.int64)
     vals = np.ascontiguousarray(vals, dtype=np.float64)
@@ -331,6 +343,47 @@ def encode_many(ts: np.ndarray, vals: np.ndarray,
     if len(vals) != n:
         raise ValueError("ts and vals must align")
     group_starts = np.ascontiguousarray(group_starts, dtype=np.int64)
+    ngroups = len(group_starts)
+    group_ends = np.concatenate([group_starts[1:], [n]])
+    sizes = group_ends - group_starts
+    singles = sizes == 1
+    if singles.any():
+        sidx = group_starts[singles]
+        m = int(singles.sum())
+        buf = np.empty((m, _SINGLE_LEN), dtype=np.uint8)
+        buf[:, :HEADER_LEN] = _SINGLE_HEADER
+        buf[:, HEADER_LEN:HEADER_LEN + 8] = (
+            ts[sidx].astype(">i8").view(np.uint8).reshape(m, 8))
+        buf[:, HEADER_LEN + 8:] = (
+            vals[sidx].view(np.uint64).astype(">u8").view(np.uint8)
+            .reshape(m, 8))
+        raw = buf.tobytes()
+        L = _SINGLE_LEN
+        single_chunks = [raw[i * L:(i + 1) * L] for i in range(m)]
+        if m == ngroups:
+            return single_chunks
+        keep_pts = np.repeat(~singles, sizes)
+        sizes_multi = sizes[~singles]
+        starts_multi = np.concatenate(
+            [[0], np.cumsum(sizes_multi)[:-1]]).astype(np.int64)
+        multi_chunks = _encode_many_general(
+            ts[keep_pts], vals[keep_pts], starts_multi)
+        out, si, mi = [], 0, 0
+        for is_single in singles.tolist():
+            if is_single:
+                out.append(single_chunks[si])
+                si += 1
+            else:
+                out.append(multi_chunks[mi])
+                mi += 1
+        return out
+    return _encode_many_general(ts, vals, group_starts)
+
+
+def _encode_many_general(ts: np.ndarray, vals: np.ndarray,
+                         group_starts: np.ndarray) -> list[bytes]:
+    """The general bitstream encoder (any group sizes)."""
+    n = len(ts)
     ngroups = len(group_starts)
     group_ends = np.concatenate([group_starts[1:], [n]])
 
