@@ -999,8 +999,9 @@ def q_cosine_dup_pairs(spark, sf_dir):
 
 def q_cosine_dup_pairs_lsh(spark, sf_dir):
     """Scale-path cosine near-dup: LSH-band candidates + exact verify
-    (no O(n^2) join anywhere in the plan)."""
-    return dedup.cosine_dup_pairs_lsh(_emb(spark, sf_dir), tau=0.5)
+    (no O(n^2) join anywhere in the plan). dim=64 is the testdata
+    embedding width (the oracle bakes the same 16x64 plane matrix)."""
+    return dedup.cosine_dup_pairs_lsh(_emb(spark, sf_dir), tau=0.5, dim=64)
 
 
 def _cosine_lsh_oracle() -> str:

@@ -247,7 +247,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 4,
 def cosine_dup_pairs_lsh(embeddings: DataFrame, tau: float,
                          n_planes: int = 16, bands: int = 4, seed: int = 42,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         dim: int | None = None) -> DataFrame:
     """Near-dup pairs by cosine >= tau — the SCALE path: candidates
     come from an equi-join on shared LSH signature bands (each band =
     ``n_planes/bands`` hyperplane sign bits), then exact cosine
@@ -259,9 +260,10 @@ def cosine_dup_pairs_lsh(embeddings: DataFrame, tau: float,
     band), high for near-identical vectors (tau >= ~0.9) — the dedup
     regime. The brute-force ``cosine_dup_pairs`` is the exact baseline.
     """
-    from .similarity import hyperplane_signature
+    from .similarity import _dot_col, _norm_col, hyperplane_signature
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:  # driver-side probe only when the caller can't say
+        dim = len(embeddings.select(vec_col).first()[0])
     sigs = hyperplane_signature(embeddings, n_planes, dim, seed,
                                 id_col, vec_col)
     bits = n_planes // bands
@@ -286,15 +288,16 @@ def cosine_dup_pairs_lsh(embeddings: DataFrame, tau: float,
                 F.col("y.vec_id").alias("id_b"))
         .distinct()
     )
+    # the SAME fold expressions as the brute-force baseline and the
+    # DuckDB oracles (similarity._dot_col/_norm_col) — the sequential
+    # float summation order is determinism-critical, keep one source
     normed = sigs.select("vec_id", "v").withColumn(
-        "norm", F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
-                                   lambda a, x: a + x * x)))
+        "norm", _norm_col(F.col("v")))
     a = normed.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
                       F.col("norm").alias("na"))
     b = normed.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
                       F.col("norm").alias("nb"))
-    dot = F.aggregate(F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p * q),
-                      F.lit(0.0), lambda acc, z: acc + z)
+    dot = _dot_col(F.col("va"), F.col("vb"))
     return (
         cand.join(a, "id_a").join(b, "id_b")
         .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))

@@ -202,17 +202,26 @@ class _Parser:
             or t.kind in ("tok", "string", "number")
         )
 
+    def _nonneg_int(self) -> int:
+        t = self.expect("number")
+        if "." in t.text or t.text.startswith("-"):
+            raise QueryParseError(
+                f"expected a non-negative integer, got {t.text!r}")
+        return int(t.text)
+
     # gap := '[' n ('..' n)? ']'  (GapQuery production :735-758:
     # a single number is the max gap, min defaults to 0)
     def gap(self) -> tuple[int, int]:
         self.expect("sym", "[")
-        hi = int(self.expect("number").text)
+        hi = self._nonneg_int()
         lo = 0
         if self.peek() and self.peek().kind == "dotdot":
             self.next()
             lo = hi
-            hi = int(self.expect("number").text)
+            hi = self._nonneg_int()
         self.expect("sym", "]")
+        if hi < lo:
+            raise QueryParseError(f"gap range [{lo}..{hi}] is descending")
         return (lo, hi)
 
     # postfix := atom ('+' n ('..' n)?)?    (:1208-1255)
@@ -221,11 +230,13 @@ class _Parser:
         t = self.peek()
         if t is not None and t.kind == "sym" and t.text == "+":
             self.next()
-            m = int(self.expect("number").text)
+            m = self._nonneg_int()
             n = m
             if self.peek() and self.peek().kind == "dotdot":
                 self.next()
-                n = int(self.expect("number").text)
+                n = self._nonneg_int()
+            if m < 1 or n < m:
+                raise QueryParseError(f"invalid repeat bounds +{m}..{n}")
             node = Repeat(node, m, n)
         return node
 

@@ -92,14 +92,16 @@ def query_signature(query_vec: list[float], n_planes: int = 12,
 def write_embeddings_bucketed(embeddings: DataFrame, path: str,
                               n_planes: int = 12, seed: int = 42,
                               id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> None:
+                              vec_col: str = "embedding",
+                              dim: int | None = None) -> None:
     """Materialize the LSH layout: parquet partitioned by ``bucket``.
 
     This is the scale path's storage half: at 100 TB this is an Iceberg
     table partitioned by bucket, and probing reads ONLY the probed
     partitions (partition pruning at the scan — verified by the
     PartitionFilters entry in the plan, see lsh_topk_bucketed)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    if dim is None:  # driver-side probe only when the caller cannot say
+        dim = len(embeddings.select(vec_col).first()[0])
     sigs = hyperplane_signature(embeddings, n_planes, dim, seed, id_col, vec_col)
     sigs.write.mode("overwrite").partitionBy("bucket").parquet(str(path))
 

@@ -34,8 +34,8 @@ def load_bindings(spark: SparkSession, source: str,
     if fmt == "json":
         return spark.read.options(**options).json(source)
     if fmt == "csv":
-        return spark.read.options(header="true", inferSchema="true",
-                                  **options).csv(source)
+        opts = {"header": "true", "inferSchema": "true", **options}
+        return spark.read.options(**opts).csv(source)
     if fmt == "parquet":
         return spark.read.options(**options).parquet(source)
     raise ValueError(f"unsupported bindings format {fmt!r}")

@@ -131,11 +131,13 @@ def streaming_rollup_chunks(stream: DataFrame, tier: str = "1m",
                 continue
             ts_new = pdf["ts"].astype("datetime64[us]").astype("int64")
             # drop late-beyond-watermark rows at arrival (the built-in
-            # aggregation's rule); the batch cascade repairs the late
-            # tail at compaction time, as in the reference's LSM merge.
-            # Buffered rows are never late: they were on time when they
-            # arrived, and an on-time row's bucket is open by definition
-            on_time = ts_new.to_numpy() > wm_us
+            # aggregation's rule: strictly older than the watermark is
+            # late, ts == watermark is on time); the batch cascade
+            # repairs the late tail at compaction time, as in the
+            # reference's LSM merge. Buffered rows are never late: they
+            # were on time at arrival, and an on-time row's bucket is
+            # open by definition (bucket end > ts >= watermark)
+            on_time = ts_new.to_numpy() >= wm_us
             ts_l.extend(ts_new[on_time].tolist())
             conv_l.extend(pdf["conv_id"][on_time].tolist())
             tidx_l.extend(int(x) for x in pdf["turn_idx"][on_time])

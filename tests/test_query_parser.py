@@ -201,3 +201,10 @@ def _ast(depth=3):
 @settings(max_examples=200, deadline=None)
 def test_render_parse_roundtrip(ast):
     assert parse(QP.render(ast)) == ast
+
+
+def test_gap_and_repeat_validation():
+    for bad in ["a [-2] b", "a [1.5] b", "a [4..1] b", "a+3.5", "a+0",
+                "a+3..2"]:
+        with pytest.raises(QP.QueryParseError):
+            parse(bad)
