@@ -41,6 +41,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # sporadic python-worker crashes on this host wedge a stage
+        # otherwise silently; faulthandler makes them diagnosable
+        .config("spark.python.worker.faulthandler.enabled", "true")
         # At 100 TB you want bounded scan partitions; 128 MiB is the
         # sweet spot for parquet row-group alignment.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
