@@ -627,7 +627,9 @@ def q_terms_topk_documents(spark, sf_dir):
 
 
 def _sw_list() -> str:
-    return ", ".join(f"'{w}'" for w in TERMS.DEFAULT_STOPWORDS)
+    # single quotes doubled for SQL ('s and ' are in the reference list)
+    return ", ".join("'" + w.replace("'", "''") + "'"
+                     for w in TERMS.DEFAULT_STOPWORDS)
 
 
 _TERMS_TOPK_ORACLE = f"""
@@ -1126,6 +1128,28 @@ def q_lsh_ann_topk(spark, sf_dir):
                                n_planes=8, probe_hamming=3)
 
 
+def q_lsh_ann_topk_bucketed(spark, sf_dir):
+    """The SCALE path of lsh_ann_topk through the same oracle: the
+    embeddings are materialized partitioned by LSH bucket
+    (similarity.write_embeddings_bucketed), and probing becomes an
+    IN-list on the partition column — partition pruning at the scan
+    (PartitionFilters plan evidence asserted in
+    tests/test_pipeline_ops.py::test_lsh_bucketed_store_prunes_partitions).
+    Same seeded planes and probe radius as the in-memory variant, so
+    the result set is identical and _lsh_ann_oracle replays it."""
+    import hashlib as _h
+
+    store = pathlib.Path(__file__).resolve().parent / ".cache" / (
+        "emb_bucketed_" + _h.md5(sf_dir.encode()).hexdigest()[:8])
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    similarity.write_embeddings_bucketed(emb, str(store), n_planes=8,
+                                         dim=len(qvec))
+    return similarity.lsh_topk_bucketed(spark, str(store), qvec, 10,
+                                        n_planes=8, probe_hamming=3)
+
+
 def _lsh_ann_oracle() -> str:
     """DuckDB replay of multi-probe hyperplane LSH: the seeded plane
     matrix is folded into the SQL as literal DOUBLE arrays (same floats
@@ -1255,10 +1279,51 @@ def q_retention_overlay_rollup(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing, oracle-checked end to end: the fake decoder
+    is a pure function of the payload (sha256(payload) bytes / 255 as
+    float32, multimodal.py:69), so each feature element recovers its
+    source byte exactly via round(x * 255). The oracle replays the
+    whole pipeline in pure Python and embeds the expected bytes as a
+    literal VALUES table — feature VALUES are verified, not just row
+    shape."""
     from mimir_spark.multimodal import extract_features, synthetic_media_df
 
-    return extract_features(synthetic_media_df(spark, 64), feat_dim=16) \
-        .select("media_id", "kind", "feat_dim", "n_bytes")
+    feats = extract_features(synthetic_media_df(spark, 64), feat_dim=16)
+    return feats.select(
+        "media_id", "kind", "feat_dim", "n_bytes",
+        F.round(F.element_at("feat", 1).cast("double") * 255.0, 0)
+        .cast("int").alias("feat0_byte"),
+        F.expr(
+            "cast(aggregate(feat, 0D,"
+            " (acc, x) -> acc + round(cast(x as double) * 255.0, 0))"
+            " as bigint)"
+        ).alias("feat_bytes_sum"),
+    )
+
+
+def _multimodal_oracle() -> str:
+    """Replay synthetic_media_df + the fake decoder in pure Python
+    (hashlib only — no Spark, no numpy float paths) and emit the
+    expected rows as a literal table."""
+    import hashlib
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(64):
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (8 + i % 5)
+        fb = hashlib.sha256(payload).digest()[:16]  # dim 16 <= 32 bytes
+        rows.append(
+            f"({i},'{kinds[i % 3]}',{len(payload)},{fb[0]},{sum(fb)})")
+    values = ",".join(rows)
+    return f"""
+        SELECT CAST(media_id AS BIGINT) AS media_id, kind,
+               CAST(16 AS INTEGER) AS feat_dim,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               CAST(feat0_byte AS INTEGER) AS feat0_byte,
+               CAST(feat_bytes_sum AS BIGINT) AS feat_bytes_sum
+        FROM (VALUES {values})
+             AS t(media_id, kind, n_bytes, feat0_byte, feat_bytes_sum)
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1334,6 +1399,7 @@ _QUERIES = {
         # rows-only (non-SQL-expressible)
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_ann_topk_bucketed": q_lsh_ann_topk_bucketed,
         "transcript_rollup_1m": q_transcript_rollup_1m,
         "retention_overlay_rollup": q_retention_overlay_rollup,
         "multimodal_features": q_multimodal_features,
@@ -1433,4 +1499,6 @@ def oracle_sql() -> dict[str, str]:
             "AND conv_id NOT IN ("
             + ", ".join(f"'{c}'" for c in _TOMBSTONED) + ")"),
         "lsh_ann_topk": _lsh_ann_oracle(),
+        "lsh_ann_topk_bucketed": _lsh_ann_oracle(),
+        "multimodal_features": _multimodal_oracle(),
     }

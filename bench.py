@@ -281,10 +281,13 @@ def main() -> int:
 
         cap0 = _parallel_capacity(SCALE_HI)
         note(f"host parallel capacity probe: {cap0}/{SCALE_HI}.0")
-        spark, hi_sec = _measure(SCALE_HI, 200)
-        spark, lo_sec = _measure(SCALE_LO, 420)
+        spark, hi0 = _measure(SCALE_HI, 200)
+        spark, lo0 = _measure(SCALE_LO, 420)
+        hi_samples = [hi0]
+        lo_samples = [lo0]
 
         ratio = SCALE_HI / SCALE_LO
+        hi_sec, lo_sec = min(hi_samples), min(lo_samples)
         efficiency = lo_sec / (ratio * hi_sec)
         # The shared host's available parallelism varies over time
         # (noisy neighbors): a contended window caps the measurable
@@ -292,6 +295,8 @@ def main() -> int:
         # the gate and the time budget allows, keep collecting sample
         # pairs at BOTH levels (min over all samples per level — the
         # standard steady-state estimator) to catch a quiet window.
+        # Every raw sample is recorded in the payload (scaling.samples)
+        # so the stopping behavior is auditable.
         capacity = cap0
         while (efficiency < RETRY_BELOW
                and time.monotonic() - _T0 < RETRY_BUDGET):
@@ -300,12 +305,14 @@ def main() -> int:
                  f"(host capacity now {capacity}/{SCALE_HI}.0) — "
                  "collecting another sample pair")
             try:
-                lo_sec = min(lo_sec, _with_watchdog(
-                    spark,
-                    lambda: _rollup_run(spark, corpus_path, warmup=False),
-                    420, "extra lo sample"))
+                # each extra sample runs on a FRESH session at its own
+                # parallelism level (an earlier revision reused the HI
+                # session for the lo sample, corrupting sec_lo)
+                spark, lo2 = _measure(SCALE_LO, 420)
+                lo_samples.append(lo2)
                 spark, hi2 = _measure(SCALE_HI, 200)
-                hi_sec = min(hi_sec, hi2)
+                hi_samples.append(hi2)
+                hi_sec, lo_sec = min(hi_samples), min(lo_samples)
                 efficiency = lo_sec / (ratio * hi_sec)
             except Exception as e:  # keep the current estimate
                 note(f"extra sample pair failed: {e}")
@@ -333,6 +340,14 @@ def main() -> int:
             # effective host parallelism observed during the run (ideal
             # = cpus_hi); a contended host caps the measurable ratio
             "host_parallel_capacity": capacity,
+            # every raw wall-clock sample (sec) at each level, in
+            # collection order — the headline numbers are min-of-these;
+            # makes the adaptive resampling auditable
+            "samples": {
+                "lo": [round(s, 3) for s in lo_samples],
+                "hi": [round(s, 3) for s in hi_samples],
+                "pairs": len(hi_samples),
+            },
         }
     except Exception:
         err = traceback.format_exc(limit=8)

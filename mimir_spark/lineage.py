@@ -83,40 +83,81 @@ class TieredStore:
                 dropped.append(str(pdir))
         return dropped
 
+    def _stage_promote(self, df: DataFrame, tier: str, name: str) -> int:
+        """Write ``df`` (must carry int column ``p`` and date column
+        ``bucket_date``) as ONE staged Spark job partitioned by
+        (p, bucket_date), then atomically swap each staged ``p=``
+        directory into the tier. Idempotent: a crash mid-promote leaves
+        whole partitions either old or new, and re-running converges.
+        Returns the number of partitions promoted."""
+        staging = self.root / "_staging" / f"maint-{name}"
+        if staging.exists():
+            shutil.rmtree(staging)
+        (
+            df.write.mode("overwrite")
+            .partitionBy("p", "bucket_date")
+            .parquet(str(staging))
+        )
+        n = 0
+        for src in sorted(staging.glob("p=*")):
+            dst = self.tier_dir(tier) / src.name
+            if dst.exists():
+                shutil.rmtree(dst)
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            src.rename(dst)
+            n += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return n
+
     def compact_tier(self, spark: SparkSession, from_tier: str,
                      to_tier: str, max_points: int | None = None) -> int:
-        """Derive a coarser tier from a finer one, partition by
-        partition — the periodic compaction job
-        (MimirIndex.requestCompactIndex / AtomicIndex.compactIndex
-        analogue, AtomicIndex.java:1280-1366). Chunks merge in bucket
-        order, so the derived tier is byte-identical to one computed
-        directly from raw (the cascade invariant). Idempotent: each
-        partition write is an atomic replace. Returns partitions
-        written."""
+        """Derive a coarser tier from a finer one — the periodic
+        compaction job (MimirIndex.requestCompactIndex /
+        AtomicIndex.compactIndex analogue, AtomicIndex.java:1280-1366).
+        Chunks merge in bucket order, so the derived tier is
+        byte-identical to one computed directly from raw (the cascade
+        invariant).
+
+        Scale note: ONE Spark job per tier — every ``p=`` partition is
+        read with the partition column, the shard id rides in the
+        series ``kind`` through a single cascade pass (exactly the
+        run_rollup_job trick), and the staged output is promoted with
+        atomic per-partition replaces. The previous revision submitted
+        one serialized driver job per partition (256 submissions at
+        P=256). Returns partitions written."""
         from .rollup import cascade
 
-        n = 0
-        for pdir in sorted(self.tier_dir(from_tier).glob("p=*")):
-            pid = int(pdir.name.split("=", 1)[1])
-            fine = (
-                spark.read.option("basePath", str(self.tier_dir(from_tier)))
-                .parquet(str(pdir))
-                .withColumn("tier", F.lit(from_tier))
-                .drop("bucket_date", "p")
-            )
-            coarse = cascade(fine, to_tier, max_points=max_points)
-            self.write_partition(coarse, to_tier, pid)
-            n += 1
-        return n
+        src_dir = self.tier_dir(from_tier)
+        if not any(src_dir.glob("p=*")):
+            return 0
+        fine = (
+            spark.read.option("basePath", str(src_dir))
+            .parquet(str(src_dir / "p=*"))
+            .withColumn("tier", F.lit(from_tier))
+            .withColumn("kind", F.concat(F.col("p").cast("string"),
+                                         F.lit("|"), F.col("kind")))
+            .drop("bucket_date", "p")
+        )
+        coarse = cascade(fine, to_tier, max_points=max_points)
+        parts = F.split(F.col("kind"), "\\|", 2)
+        out = (
+            coarse.withColumn("p", parts.getItem(0).cast("int"))
+            .withColumn("kind", parts.getItem(1))
+            .withColumn("bucket_date", F.to_date("bucket_ts"))
+        )
+        return self._stage_promote(out, to_tier,
+                                   f"compact-{from_tier}-{to_tier}")
 
     def upgrade_tier(self, spark: SparkSession, tier: str,
                      max_points: int | None = None) -> int:
         """Rewrite every chunk in a tier to the current codec version —
         the format-upgrade path (util/IndexUpgrader.java analogue:
-        old-format index rewritten in place). Partition-at-a-time and
-        idempotent: already-current chunks pass through byte-stable, a
-        crash mid-upgrade leaves whole partitions either old or new,
-        and re-running converges. Returns the partition count."""
+        old-format index rewritten in place). ONE Spark job per tier
+        (read ``p=*`` with the partition column, rewrite chunks,
+        promote with atomic per-partition replaces) and idempotent:
+        already-current chunks pass through byte-stable, a crash
+        mid-upgrade leaves whole partitions either old or new, and
+        re-running converges. Returns the partition count."""
         from . import codec as _codec
 
         @F.pandas_udf("binary")
@@ -124,18 +165,16 @@ class TieredStore:
             return chunks.map(
                 lambda b: _codec.upgrade_chunk(bytes(b), max_points))
 
-        n = 0
-        for pdir in sorted(self.tier_dir(tier).glob("p=*")):
-            pid = int(pdir.name.split("=", 1)[1])
-            df = (
-                spark.read.option("basePath", str(self.tier_dir(tier)))
-                .parquet(str(pdir))
-                .withColumn("chunk", _up("chunk"))
-                .drop("bucket_date", "p")
-            )
-            self.write_partition(df, tier, pid)
-            n += 1
-        return n
+        src_dir = self.tier_dir(tier)
+        if not any(src_dir.glob("p=*")):
+            return 0
+        df = (
+            spark.read.option("basePath", str(src_dir))
+            .parquet(str(src_dir / "p=*"))
+            .withColumn("tier", F.lit(tier))
+            .withColumn("chunk", _up("chunk"))
+        )
+        return self._stage_promote(df, tier, f"upgrade-{tier}")
 
     # -- lineage -----------------------------------------------------------
 
@@ -226,19 +265,26 @@ def run_rollup_job(
     # point, so the finest tier's cnt sums recover it without a second
     # pass over the source)
     finest = min(tiers, key=lambda t: TIER_US[t])
-    staged = spark.read.option("basePath", str(staging)).parquet(str(staging))
-    is_turnrate = ((F.col("tier") == finest) & (F.col("kind") == "conv")
-                   & (F.col("metric") == "turn_rate"))
-    stats = (
-        staged.groupBy("p")
-        .agg(
-            F.count("*").alias("points_out"),
-            F.coalesce(F.sum(F.length("chunk")), F.lit(0)).alias("bytes"),
-            F.coalesce(F.sum(F.when(is_turnrate, F.col("cnt"))),
-                       F.lit(0)).alias("rows_in"),
+    # an all-empty source (or a resume where only empty shards remain)
+    # stages a directory with no data files, which parquet-read cannot
+    # infer a schema from — short-circuit to zero-count lineage rows so
+    # the job converges instead of re-failing on every retry
+    if any(staging.rglob("*.parquet")):
+        staged = spark.read.option("basePath", str(staging)).parquet(str(staging))
+        is_turnrate = ((F.col("tier") == finest) & (F.col("kind") == "conv")
+                       & (F.col("metric") == "turn_rate"))
+        stats = (
+            staged.groupBy("p")
+            .agg(
+                F.count("*").alias("points_out"),
+                F.coalesce(F.sum(F.length("chunk")), F.lit(0)).alias("bytes"),
+                F.coalesce(F.sum(F.when(is_turnrate, F.col("cnt"))),
+                           F.lit(0)).alias("rows_in"),
+            )
+            .collect()
         )
-        .collect()
-    )
+    else:
+        stats = []
     by_p = {r["p"]: r for r in stats}
     results = []
     for p in pending:

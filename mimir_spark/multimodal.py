@@ -91,9 +91,12 @@ def extract_features(media: DataFrame, feat_dim: int = 16,
                 "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
             })
 
-    # partition by media_id so a re-run colocates identically; batch
-    # size is governed by spark.sql.execution.arrow.maxRecordsPerBatch
-    return media.repartition(F.col("media_id")).mapInPandas(run, FEATURE_SCHEMA)
+    # NO repartition: extraction is row-local and per-row deterministic
+    # (features are a pure function of the payload), so the UDF runs
+    # directly on scan partitions — shuffling the binary payloads (the
+    # heaviest column) would dominate at scale for zero benefit. Batch
+    # size is governed by spark.sql.execution.arrow.maxRecordsPerBatch.
+    return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:

@@ -14,6 +14,7 @@ pos = turn index and len = number of turns covered.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -235,10 +236,18 @@ def render_hits(turns: DataFrame, hits: DataFrame, context: int = 0) -> DataFram
 
 def and_query(*hit_dfs: DataFrame) -> DataFrame:
     """Minimal covering windows containing >=1 hit of every child —
-    minimal-interval semantics (AndQuery.java:85-256, the
-    priority-queue algorithm). Children are tagged, unioned, shuffled
-    once by conv_id, and the queue algorithm runs per conversation in
-    a co-grouped pandas pass (hits per conversation are small)."""
+    minimal-interval semantics (AndQuery.java:85-256; the result is the
+    antichain of covering windows, Clarke et al. as in MG4J). Children
+    are tagged, unioned, shuffled once by conv_id, and a closed-form
+    numpy sweep runs per conversation:
+
+    for a window starting at S, the minimal covering end is
+    E(S) = max over children of (suffix-min of interval ends among that
+    child's intervals with start >= S). E is non-decreasing in S, so
+    the antichain is exactly {[S, E] : S = largest start with that E,
+    E finite}. Each child costs one searchsorted + one suffix-min —
+    O(H log H) vectorized, no per-hit Python (a 10^5-hit conversation
+    sweeps in milliseconds, see test_and_query_hit_dense_stress)."""
     tagged = []
     for idx, h in enumerate(hit_dfs):
         tagged.append(_as_hits(h).withColumn("child", F.lit(idx)))
@@ -250,33 +259,30 @@ def and_query(*hit_dfs: DataFrame) -> DataFrame:
     def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
         for conv, g in pdf.groupby("conv_id", sort=False):
-            lists = []
-            complete = True
-            for c in range(nchildren):
-                sub = g[g["child"] == c]
-                if sub.empty:
-                    complete = False
-                    break
-                arr = sorted(zip(sub["pos"], sub["pos"] + sub["len"]))
-                lists.append(arr)
-            if not complete:
+            starts = g["pos"].to_numpy(np.int64)
+            ends = starts + g["len"].to_numpy(np.int64)
+            child = g["child"].to_numpy()
+            if len(np.unique(child)) < nchildren:
                 continue
-            ptr = [0] * nchildren
-            while True:
-                cur = [lists[c][ptr[c]] for c in range(nchildren)]
-                s = min(h[0] for h in cur)
-                e = max(h[1] for h in cur)
-                cstar = min(range(nchildren),
-                            key=lambda c: (cur[c][0], cur[c][1], c))
-                ptr[cstar] += 1
-                if ptr[cstar] >= len(lists[cstar]):
-                    out.append((conv, s, e - s))
-                    break
-                nxt = [lists[c][ptr[c]] for c in range(nchildren)]
-                s2 = min(h[0] for h in nxt)
-                e2 = max(h[1] for h in nxt)
-                if not (s2 >= s and e2 <= e):
-                    out.append((conv, s, e - s))
+            cand_s = np.unique(starts)
+            cover_e = np.full(len(cand_s), -np.inf)
+            for c in range(nchildren):
+                m = child == c
+                order = np.argsort(starts[m], kind="stable")
+                a = starts[m][order]
+                b = ends[m][order].astype(np.float64)
+                sfx = np.minimum.accumulate(b[::-1])[::-1]
+                idx = np.searchsorted(a, cand_s, side="left")
+                fc = np.where(idx < len(a), np.r_[sfx, [np.inf]][idx], np.inf)
+                cover_e = np.maximum(cover_e, fc)
+            finite = np.isfinite(cover_e)
+            s_arr, e_arr = cand_s[finite], cover_e[finite]
+            if len(s_arr) == 0:
+                continue
+            keep = np.r_[e_arr[:-1] != e_arr[1:], True]
+            for s, e in zip(s_arr[keep].tolist(),
+                            e_arr[keep].astype(np.int64).tolist()):
+                out.append((conv, s, e - s))
         return pd.DataFrame(out, columns=_HIT_COLS)
 
     return (

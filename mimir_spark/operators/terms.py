@@ -14,13 +14,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# ~30 of the usual suspects; the reference ships ~300
-# (AbstractIndexTermsQuery.java:77-156) — callers can pass their own.
+# The reference's full default list, transcribed verbatim
+# (AbstractIndexTermsQuery.java DEFAULT_STOP_WORDS, lines 111-156):
+# punctuation tokens, digits, single letters, and ~260 English function
+# words. Callers can pass their own list to any terms query.
 DEFAULT_STOPWORDS = [
-    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
-    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
-    "the", "their", "then", "there", "these", "they", "this", "to", "was",
-    "will", "with",
+    ",", ".", "?", "!", ":", ";", "#", "~", "^", "@", "%", "&", "(", ")",
+    "[", "]", "{", "}", "|", "\\", "<", ">", "-", "+", "*", "/", "=", "'",
+    '"', "'s", "1", "2", "3", "4", "5", "6", "7", "8", "9", "0",
+    "a", "about", "above", "across", "after", "afterwards", "again",
+    "against", "all", "almost", "alone", "along", "already", "also",
+    "although", "always", "am", "among", "amongst", "amoungst", "amount",
+    "an", "and", "another", "any", "anyhow", "anyone", "anything", "anyway",
+    "anywhere", "are", "around", "as", "at",
+    "b", "back", "be", "became", "because", "become", "becomes", "becoming",
+    "been", "before", "beforehand", "behind", "being", "below", "beside",
+    "besides", "between", "beyond", "bill", "both", "bottom", "but", "by",
+    "c", "call", "can", "cannot", "cant", "co", "con", "could", "couldnt",
+    "cry",
+    "d", "de", "describe", "detail", "do", "done", "down", "due", "during",
+    "e", "each", "eg", "eight", "either", "eleven", "else", "elsewhere",
+    "empty", "enough", "etc", "even", "ever", "every", "everyone",
+    "everything", "everywhere", "except",
+    "f", "few", "fifteen", "fify", "fill", "find", "fire", "first", "five",
+    "for", "former", "formerly", "forty", "found", "four", "from", "front",
+    "full", "further",
+    "g", "get", "give", "go",
+    "h", "had", "has", "hasnt", "have", "he", "hence", "her", "here",
+    "hereafter", "hereby", "herein", "hereupon", "hers", "herself", "him",
+    "himself", "his", "how", "however", "hundred",
+    "i", "ie", "if", "in", "inc", "indeed", "interest", "into", "is", "it",
+    "its", "itself",
+    "j", "k", "keep",
+    "l", "last", "latter", "latterly", "least", "less", "ltd",
+    "m", "made", "many", "may", "me", "meanwhile", "might", "mill", "mine",
+    "more", "moreover", "most", "mostly", "move", "much", "must", "my",
+    "myself",
+    "n", "name", "namely", "neither", "never", "nevertheless", "next",
+    "nine", "no", "nobody", "none", "noone", "nor", "not", "nothing", "now",
+    "nowhere",
+    "o", "of", "off", "often", "on", "once", "one", "only", "onto", "or",
+    "other", "others", "otherwise", "our", "ours", "ourselves", "out",
+    "over", "own",
+    "p", "part", "per", "perhaps", "please", "put",
+    "q",
+    "r", "rather", "re",
+    "s", "same", "see", "seem", "seemed", "seeming", "seems", "serious",
+    "several", "she", "should", "show", "side", "since", "sincere", "six",
+    "sixty", "so", "some", "somehow", "someone", "something", "sometime",
+    "sometimes", "somewhere", "still", "such", "system",
+    "t", "take", "ten", "than", "that", "the", "their", "them",
+    "themselves", "then", "thence", "there", "thereafter", "thereby",
+    "therefore", "therein", "thereupon", "these", "they", "thickv", "thin",
+    "third", "this", "those", "though", "three", "through", "throughout",
+    "thru", "thus", "to", "together", "too", "top", "toward", "towards",
+    "twelve", "twenty", "two",
+    "u", "un", "under", "until", "up", "upon", "us",
+    "v", "very", "via",
+    "w", "was", "we", "well", "were", "what", "whatever", "when", "whence",
+    "whenever", "where", "whereafter", "whereas", "whereby", "wherein",
+    "whereupon", "wherever", "whether", "which", "while", "whither", "who",
+    "whoever", "whole", "whom", "whose", "why", "will", "with", "within",
+    "without", "would",
+    "x", "y", "yet", "you", "your", "yours", "yourself", "yourselves", "z",
 ]
 
 WS_RE = "[ \\t\\n\\r]+"

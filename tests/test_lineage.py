@@ -130,3 +130,21 @@ def test_compact_job_cli(spark, source, tmp_path, capsys):
     assert rc == 0
     assert store.read_tier(spark, "1h").count() > 0
     assert store.read_tier(spark, "1d").count() > 0
+
+
+def test_empty_source_commits_zero_lineage(spark, tmp_path):
+    """An all-empty source must still commit rows_in=0 lineage rows
+    (not crash on the schema-less staged directory) so the job
+    converges instead of re-failing on every retry."""
+    from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
+
+    def empty():
+        return spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+
+    store = TieredStore(tmp_path / "store")
+    rows = run_rollup_job(spark, empty, store, "job-empty", num_partitions=3)
+    assert len(rows) == 3
+    assert all(r["rows_in"] == 0 and r["points_out"] == 0 for r in rows)
+    # converged: the rerun sees all partitions committed
+    assert run_rollup_job(spark, empty, store, "job-empty",
+                          num_partitions=3) == []

@@ -185,6 +185,59 @@ def test_and_query_minimal_intervals(turns, turns_pdf):
     assert got
 
 
+def test_and_query_antichain_adversarial(spark):
+    """Regression: the pre-r3 queue sweep over-emitted non-minimal
+    windows on inputs like this (child0 (3,8),(4,9): window [3,9]
+    contains [3,8] and must NOT be in the antichain). Random fuzz vs
+    the brute oracle on top."""
+    import random
+
+    rng = random.Random(11)
+    rows_a = [("c0", 3, 5), ("c0", 4, 5), ("c0", 9, 4)]
+    rows_b = [("c0", 3, 5), ("c0", 11, 1), ("c0", 17, 2)]
+    for trial in range(30):
+        conv = f"f{trial}"
+        for rows in (rows_a, rows_b):
+            for _ in range(rng.randint(1, 6)):
+                s = rng.randint(0, 25)
+                rows.append((conv, s, rng.randint(1, 5)))
+    a = spark.createDataFrame(rows_a, "conv_id string, pos int, len int")
+    b = spark.createDataFrame(rows_b, "conv_id string, pos int, len int")
+    got = hits_set(and_query(a, b))
+    want = _brute_minimal_windows([set(rows_a), set(rows_b)])
+    assert got == want
+    assert ("c0", 3, 5) in got and ("c0", 3, 6) not in got
+
+
+def test_and_query_hit_dense_stress(spark):
+    """A hit-dense conversation (10^5 hits per child) must sweep in
+    vectorized time, not per-hit Python time."""
+    import time
+
+    import numpy as np
+
+    n = 100_000
+    rng = np.random.default_rng(5)
+    pa = np.sort(rng.integers(0, 10_000_000, n))
+    pb = np.sort(rng.integers(0, 10_000_000, n))
+    a = spark.createDataFrame(
+        pd.DataFrame({"conv_id": "dense", "pos": pa, "len": 3}))
+    b = spark.createDataFrame(
+        pd.DataFrame({"conv_id": "dense", "pos": pb, "len": 3}))
+    t0 = time.monotonic()
+    got = and_query(a, b)
+    cnt = got.count()
+    wall = time.monotonic() - t0
+    assert cnt > 10_000
+    # sanity: every window covers >=1 hit start from each child
+    sample = got.limit(500).toPandas()
+    for r in sample.itertuples(index=False):
+        for p in (pa, pb):
+            i = np.searchsorted(p, r.pos, side="left")
+            assert i < len(p) and p[i] + 3 <= r.pos + r.len
+    assert wall < 60, f"hit-dense and_query took {wall:.1f}s"
+
+
 # ---------------------------------------------------------------------------
 # terms queries vs pandas value_counts
 # ---------------------------------------------------------------------------
@@ -270,3 +323,22 @@ def test_external_bindings_restrict_and_annotate(spark, tmp_path):
     cpath.write_text("conv_id\nc2\n")
     b2 = load_bindings(spark, str(cpath))
     assert external_restrict(hits, b2).count() == 1
+
+
+def test_default_stopwords_match_reference():
+    """The default stop-word list is the reference's verbatim
+    (AbstractIndexTermsQuery.java DEFAULT_STOP_WORDS)."""
+    import re
+    from pathlib import Path
+
+    from mimir_spark.operators.terms import DEFAULT_STOPWORDS
+
+    ref = Path("/root/reference/mimir-core/src/main/java/gate/mimir/"
+               "search/terms/AbstractIndexTermsQuery.java")
+    if not ref.exists():
+        pytest.skip("reference tree not available")
+    m = re.search(r"DEFAULT_STOP_WORDS = new String\[\]\{(.*?)\};",
+                  ref.read_text(), re.S)
+    words = [w.replace("\\\\", "\\").replace('\\"', '"')
+             for w in re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1))]
+    assert set(words) == set(DEFAULT_STOPWORDS)

@@ -259,6 +259,17 @@ def test_multimodal_features(spark):
     assert all(np.array_equal(x, y) for x, y in zip(a["feat"], b["feat"]))
 
 
+def test_multimodal_extraction_has_no_shuffle(spark):
+    """Extraction is row-local: the UDF must run directly on scan
+    partitions with NO Exchange before it — shuffling the binary
+    payloads (the heaviest column) would dominate at 100 TB of media."""
+    from mimir_spark.multimodal import extract_features, synthetic_media_df
+
+    feats = extract_features(synthetic_media_df(spark, 48), feat_dim=16)
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_multimodal_real_decoder_stubbed(spark):
     from mimir_spark.multimodal import extract_features, synthetic_media_df
 
