@@ -1205,6 +1205,34 @@ def q_transcript_rollup_1m(spark, sf_dir):
 # order; last_v is keyed on the total (ts, conv_id, turn_idx) order —
 # the same key the engine's in-partition sort uses. ``extra_where``
 # injects overlay predicates (the retention entry).
+def q_parsed_ann_in_doc_query(spark, sf_dir):
+    """Query-string entry point with ANNOTATION constraints + document
+    containment composed: '{Tool name=bash} IN {Document n_tool_turns
+    >= 8}' — the parser resolves the Tool annotation (name aliases the
+    tool column), the Document-mode conversation predicate
+    (SemanticAnnotationHelper DOCUMENT mode), and the IN containment
+    operator in one plan over the committed transcript fixture."""
+    from mimir_spark.query_parser import run_query
+
+    t = spark.read.parquet(_TRANSCRIPT_FIXTURE)
+    return run_query("{Tool name=bash} IN {Document n_tool_turns >= 8}", t)
+
+
+_PARSED_ANN_IN_DOC_ORACLE = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, tool
+  FROM read_parquet('{_TRANSCRIPT_FIXTURE}')
+),
+doc AS (
+  SELECT conv_id FROM t GROUP BY conv_id
+  HAVING sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) >= 8
+)
+SELECT t.conv_id, CAST(t.turn_idx AS INT) AS pos, CAST(1 AS INT) AS len
+FROM t JOIN doc USING (conv_id)
+WHERE t.tool = 'bash'
+"""
+
+
 def _transcript_rollup_oracle(extra_where: str = "") -> str:
     return f"""
 WITH base AS (
@@ -1366,6 +1394,7 @@ _QUERIES = {
         "topk_users_by_value": q_topk_users_by_value,
         "seq_click_purchase": q_seq_click_purchase,
         "parsed_seq_query": q_parsed_seq_query,
+        "parsed_ann_in_doc_query": q_parsed_ann_in_doc_query,
         "repeats_query": q_repeats_query,
         "within_query": q_within_query,
         "contains_query": q_contains_query,
@@ -1498,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_overlay_rollup": _transcript_rollup_oracle(
             "AND conv_id NOT IN ("
             + ", ".join(f"'{c}'" for c in _TOMBSTONED) + ")"),
+        "parsed_ann_in_doc_query": _PARSED_ANN_IN_DOC_ORACLE,
         "lsh_ann_topk": _lsh_ann_oracle(),
         "lsh_ann_topk_bucketed": _lsh_ann_oracle(),
         "multimodal_features": _multimodal_oracle(),

@@ -42,11 +42,11 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
-    from mimir_spark.lineage import TieredStore
+    from mimir_spark.lineage import tiered_store
     from mimir_spark.session import get_spark
 
     spark = get_spark("compact-job", cpus=args.cpus)
-    store = TieredStore(args.store)
+    store = tiered_store(args.store, spark)
 
     for pair in filter(None, args.cascade.split(",")):
         frm, to = pair.split(":")

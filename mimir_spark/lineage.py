@@ -203,6 +203,95 @@ class TieredStore:
     def read_lineage(self, spark: SparkSession, job_id: str) -> DataFrame:
         return spark.read.parquet(str(self.lineage_dir(job_id) / "p=*" / "lineage.parquet"))
 
+    # -- job-output commit ---------------------------------------------------
+
+    def commit_job_output(self, spark: SparkSession, out: DataFrame,
+                          pending: list[int], tiers: tuple[str, ...],
+                          job_id: str, finest: str) -> list[dict]:
+        """Stage the rolled-up job output (columns incl. tier, p,
+        bucket_date), aggregate per-shard stats from the staged files
+        (output is ~100x smaller than input), then atomically promote
+        each shard's directories and write its lineage marker — data
+        first, lineage second, a shard is done iff its lineage row is
+        readable. This is the backend-specific half of run_rollup_job;
+        the Iceberg backend replaces it with one overwritePartitions
+        snapshot + a lineage-table MERGE (sources/iceberg_store.py)."""
+        staging = self.root / "_staging" / f"job={job_id}"
+        if staging.exists():
+            shutil.rmtree(staging)
+        (
+            out.write.mode("overwrite")
+            .partitionBy("tier", "p", "bucket_date")
+            .parquet(str(staging))
+        )
+        # per-shard lineage metrics from the staged output: rows_in =
+        # the deduped turn count (every turn emits exactly one
+        # conv/turn_rate point, so the finest tier's cnt sums recover
+        # it without a second pass over the source)
+        #
+        # an all-empty source (or a resume where only empty shards
+        # remain) stages a directory with no data files, which
+        # parquet-read cannot infer a schema from — short-circuit to
+        # zero-count lineage rows so the job converges instead of
+        # re-failing on every retry
+        if any(staging.rglob("*.parquet")):
+            staged = spark.read.option("basePath", str(staging)).parquet(str(staging))
+            is_turnrate = ((F.col("tier") == finest) & (F.col("kind") == "conv")
+                           & (F.col("metric") == "turn_rate"))
+            stats = (
+                staged.groupBy("p")
+                .agg(
+                    F.count("*").alias("points_out"),
+                    F.coalesce(F.sum(F.length("chunk")), F.lit(0)).alias("bytes"),
+                    F.coalesce(F.sum(F.when(is_turnrate, F.col("cnt"))),
+                               F.lit(0)).alias("rows_in"),
+                )
+                .collect()
+            )
+        else:
+            stats = []
+        by_p = {r["p"]: r for r in stats}
+        results = []
+        for p in pending:
+            for tier in tiers:
+                src_dir = staging / f"tier={tier}" / f"p={p}"
+                if src_dir.exists():
+                    dst = self.tier_dir(tier) / f"p={p}"
+                    if dst.exists():
+                        shutil.rmtree(dst)
+                    dst.parent.mkdir(parents=True, exist_ok=True)
+                    src_dir.rename(dst)
+            r = by_p.get(p)
+            row = {
+                "job_id": job_id,
+                "partition_id": p,
+                "rows_in": int(r["rows_in"]) if r else 0,
+                "points_out": int(r["points_out"]) if r else 0,
+                "bytes_compressed": int(r["bytes"]) if r else 0,
+                "committed_at": pd.Timestamp(int(time.time() * 1_000_000),
+                                             unit="us"),
+            }
+            self.commit_lineage(row)
+            results.append(row)
+        shutil.rmtree(staging, ignore_errors=True)
+        try:  # drop the _staging parent when no other job is mid-flight
+            staging.parent.rmdir()
+        except OSError:
+            pass
+        return results
+
+
+def tiered_store(spec, spark: SparkSession | None = None):
+    """Backend factory: ``'iceberg:<catalog.db.table>'`` returns an
+    IcebergTieredStore (requires the Iceberg runtime + the owning
+    SparkSession); any path returns the plain-parquet TieredStore. A
+    cluster deployment flips backends with this one string."""
+    if isinstance(spec, str) and spec.startswith("iceberg:"):
+        from .sources.iceberg_store import IcebergTieredStore
+
+        return IcebergTieredStore(spark, spec[len("iceberg:"):])
+    return TieredStore(spec)
+
 
 def run_rollup_job(
     spark: SparkSession,
@@ -252,64 +341,5 @@ def run_rollup_job(
         .withColumn("kind", parts.getItem(1))
         .withColumn("bucket_date", F.to_date("bucket_ts"))
     )
-    staging = store.root / "_staging" / f"job={job_id}"
-    if staging.exists():
-        shutil.rmtree(staging)
-    (
-        out.write.mode("overwrite")
-        .partitionBy("tier", "p", "bucket_date")
-        .parquet(str(staging))
-    )
-    # per-shard lineage metrics from the staged output: rows_in = the
-    # deduped turn count (every turn emits exactly one conv/turn_rate
-    # point, so the finest tier's cnt sums recover it without a second
-    # pass over the source)
     finest = min(tiers, key=lambda t: TIER_US[t])
-    # an all-empty source (or a resume where only empty shards remain)
-    # stages a directory with no data files, which parquet-read cannot
-    # infer a schema from — short-circuit to zero-count lineage rows so
-    # the job converges instead of re-failing on every retry
-    if any(staging.rglob("*.parquet")):
-        staged = spark.read.option("basePath", str(staging)).parquet(str(staging))
-        is_turnrate = ((F.col("tier") == finest) & (F.col("kind") == "conv")
-                       & (F.col("metric") == "turn_rate"))
-        stats = (
-            staged.groupBy("p")
-            .agg(
-                F.count("*").alias("points_out"),
-                F.coalesce(F.sum(F.length("chunk")), F.lit(0)).alias("bytes"),
-                F.coalesce(F.sum(F.when(is_turnrate, F.col("cnt"))),
-                           F.lit(0)).alias("rows_in"),
-            )
-            .collect()
-        )
-    else:
-        stats = []
-    by_p = {r["p"]: r for r in stats}
-    results = []
-    for p in pending:
-        for tier in tiers:
-            src_dir = staging / f"tier={tier}" / f"p={p}"
-            if src_dir.exists():
-                dst = store.tier_dir(tier) / f"p={p}"
-                if dst.exists():
-                    shutil.rmtree(dst)
-                dst.parent.mkdir(parents=True, exist_ok=True)
-                src_dir.rename(dst)
-        r = by_p.get(p)
-        row = {
-            "job_id": job_id,
-            "partition_id": p,
-            "rows_in": int(r["rows_in"]) if r else 0,
-            "points_out": int(r["points_out"]) if r else 0,
-            "bytes_compressed": int(r["bytes"]) if r else 0,
-            "committed_at": pd.Timestamp(int(time.time() * 1_000_000), unit="us"),
-        }
-        store.commit_lineage(row)
-        results.append(row)
-    shutil.rmtree(staging, ignore_errors=True)
-    try:  # drop the _staging parent when no other job is mid-flight
-        staging.parent.rmdir()
-    except OSError:
-        pass
-    return results
+    return store.commit_job_output(spark, out, pending, tiers, job_id, finest)

@@ -148,3 +148,18 @@ def test_empty_source_commits_zero_lineage(spark, tmp_path):
     # converged: the rerun sees all partitions committed
     assert run_rollup_job(spark, empty, store, "job-empty",
                           num_partitions=3) == []
+
+
+def test_tiered_store_factory_dispatch(spark, tmp_path):
+    """'iceberg:' specs dispatch to the Iceberg backend (which must
+    refuse cleanly without the runtime); paths give the parquet
+    store."""
+    from mimir_spark.lineage import TieredStore, tiered_store
+    from mimir_spark.sources.tables import iceberg_available
+
+    s = tiered_store(tmp_path / "plain")
+    assert isinstance(s, TieredStore)
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present — guard path not reachable")
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        tiered_store("iceberg:cat.db.rollup", spark)
