@@ -1233,7 +1233,30 @@ WHERE t.tool = 'bash'
 """
 
 
-def _transcript_rollup_oracle(extra_where: str = "") -> str:
+def _transcript_rollup_oracle(extra_where: str = "", trunc: str = "minute",
+                              closed_delay_s: int | None = None,
+                              with_last: bool = True) -> str:
+    """DuckDB replay of the transcript rollup, parameterized:
+
+    - ``trunc``: bucket unit ('minute'/'hour'/'day').
+    - ``closed_delay_s``: when set, keep only buckets CLOSED by the
+      terminal streaming watermark ``max(ts) - delay`` (ms-truncated
+      the way Spark tracks event time) — the append-mode emitted set
+      of the single-batch stream replay.
+    - ``with_last``: include last_v (the built-in streaming agg has no
+      last-value column; the stateful chunk writer does).
+    """
+    unit_us = {"minute": 60_000_000, "hour": 3_600_000_000,
+               "day": 86_400_000_000}[trunc]
+    last_sel = ",\n       max(CASE WHEN rn = 1 THEN v END) AS last_v" \
+        if with_last else ""
+    closed = ""
+    if closed_delay_s is not None:
+        closed = (
+            f"WHERE epoch_us(bucket_ts) + {unit_us} <= "
+            f"(SELECT (epoch_us(max(ts)) // 1000) * 1000 "
+            f"- {closed_delay_s * 1_000_000} FROM base)"
+        )
     return f"""
 WITH base AS (
   SELECT conv_id, turn_idx, role, tool, ts, text,
@@ -1270,9 +1293,9 @@ points AS (
 ),
 ranked AS (
   SELECT kind, series_key, metric,
-         date_trunc('minute', ts) AS bucket_ts, v,
+         date_trunc('{trunc}', ts) AS bucket_ts, v,
          ROW_NUMBER() OVER (
-           PARTITION BY kind, series_key, metric, date_trunc('minute', ts)
+           PARTITION BY kind, series_key, metric, date_trunc('{trunc}', ts)
            ORDER BY ts DESC, conv_id DESC, turn_idx DESC) AS rn
   FROM points
 )
@@ -1280,9 +1303,9 @@ SELECT kind, series_key, metric, bucket_ts,
        count(*) AS cnt,
        sum(v) AS sum_v,
        min(v) AS min_v,
-       max(v) AS max_v,
-       max(CASE WHEN rn = 1 THEN v END) AS last_v
+       max(v) AS max_v{last_sel}
 FROM ranked
+{closed}
 GROUP BY kind, series_key, metric, bucket_ts
 """
 
@@ -1304,6 +1327,47 @@ def q_retention_overlay_rollup(spark, sf_dir):
     rolled = rollup_points(turn_metrics(ingest(live)), tiers=("1m",))
     return rolled.select("kind", "series_key", "metric", "bucket_ts",
                          "cnt", "sum_v", "min_v", "max_v", "last_v")
+
+
+def q_streaming_rollup_1h(spark, sf_dir):
+    """SURVEY §2.8 through the driver gate: the watermarked streaming
+    tier aggregate (withWatermark + dropDuplicatesWithinWatermark +
+    window groupBy, append output) driven to completion over the
+    committed transcript fixture in a single data micro-batch
+    (replay_stream). The emitted set is exactly the buckets closed by
+    the terminal watermark max(ts) - 10min, which the oracle replays
+    as a closed-bucket filter over the batch rollup — the continuous
+    ingest visibility contract (MimirIndex.java:611-628: documents
+    searchable at sync-to-disk)."""
+    from mimir_spark.fixtures import TRANSCRIPT_SCHEMA_NTZ
+    from mimir_spark.streaming.rollup_stream import (replay_stream,
+                                                     streaming_rollup)
+
+    return replay_stream(
+        spark, _TRANSCRIPT_FIXTURE, TRANSCRIPT_SCHEMA_NTZ,
+        lambda s: streaming_rollup(s, tier="1h", watermark="10 minutes"),
+        "gate_stream_agg")
+
+
+def q_streaming_chunks_1h(spark, sf_dir):
+    """The custom STATEFUL streaming operator (the
+    applyInPandasWithState Gorilla chunk writer, rollup_stream.py:100)
+    through the driver gate: every aggregate column of every bucket it
+    closes is oracle-checked. The chunk BYTES are excluded only
+    because DuckDB cannot decode Gorilla; they are asserted bit-for-bit
+    equal to the batch writer's in pytest
+    (test_streaming_chunks_match_batch)."""
+    from mimir_spark.fixtures import TRANSCRIPT_SCHEMA_NTZ
+    from mimir_spark.streaming.rollup_stream import (replay_stream,
+                                                     streaming_rollup_chunks)
+
+    out = replay_stream(
+        spark, _TRANSCRIPT_FIXTURE, TRANSCRIPT_SCHEMA_NTZ,
+        lambda s: streaming_rollup_chunks(s, tier="1h",
+                                          watermark="10 minutes"),
+        "gate_stream_chunks")
+    return out.select("kind", "series_key", "metric", "bucket_ts",
+                      "cnt", "sum_v", "min_v", "max_v", "last_v")
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1430,6 +1494,8 @@ _QUERIES = {
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_topk_bucketed": q_lsh_ann_topk_bucketed,
         "transcript_rollup_1m": q_transcript_rollup_1m,
+        "streaming_rollup_1h": q_streaming_rollup_1h,
+        "streaming_chunks_1h": q_streaming_chunks_1h,
         "retention_overlay_rollup": q_retention_overlay_rollup,
         "multimodal_features": q_multimodal_features,
     }
@@ -1524,6 +1590,10 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dup_pairs": _COSINE_DUP_ORACLE,
         "cosine_dup_pairs_lsh": _cosine_lsh_oracle(),
         "transcript_rollup_1m": _transcript_rollup_oracle(),
+        "streaming_rollup_1h": _transcript_rollup_oracle(
+            trunc="hour", closed_delay_s=600, with_last=False),
+        "streaming_chunks_1h": _transcript_rollup_oracle(
+            trunc="hour", closed_delay_s=600),
         "retention_overlay_rollup": _transcript_rollup_oracle(
             "AND conv_id NOT IN ("
             + ", ".join(f"'{c}'" for c in _TOMBSTONED) + ")"),

@@ -32,6 +32,15 @@ TRANSCRIPT_SCHEMA = (
     "tool string, ts timestamp"
 )
 
+# The committed fixture parquet stores naive timestamps, which batch
+# reads infer as TIMESTAMP_NTZ (timezone-independent — the property
+# that keeps the DuckDB oracles exact under any session timezone).
+# Streaming file sources take an EXPLICIT schema, so they must declare
+# ntz too or the same bytes would be re-interpreted as instants and
+# every bucket boundary would shift with the session timezone.
+TRANSCRIPT_SCHEMA_NTZ = TRANSCRIPT_SCHEMA.replace(
+    "ts timestamp", "ts timestamp_ntz")
+
 
 def _vocab() -> np.ndarray:
     """5k-word deterministic vocabulary."""

@@ -57,6 +57,32 @@ def stream_turn_metrics(stream: DataFrame) -> DataFrame:
     )
 
 
+def _as_event_time(stream: DataFrame) -> DataFrame:
+    """Watermarks require TimestampType, but a tz-naive source column
+    (TIMESTAMP_NTZ — what batch reads infer from the fixture parquet)
+    must not pick up the session timezone on the way in, or every
+    bucket boundary and the watermark itself would shift with the
+    driver's tz. Reinterpret: instant whose epoch micros EQUAL the
+    naive micros. Wall algebra: cast(ntz w) has session wall w and
+    epoch w+off; from_utc_timestamp shifts the wall to w-off, so the
+    result's epoch is exactly w for ANY session timezone."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        return stream.withColumn(
+            "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"),
+                                       F.expr("current_timezone()")))
+    return stream
+
+
+def _bucket_ntz(col):
+    """Instant -> tz-naive bucket timestamp showing the UTC wall time
+    (the inverse of _as_event_time; identity under a UTC session)."""
+    return F.expr(
+        f"convert_timezone(current_timezone(), 'UTC', "
+        f"cast({col} as timestamp_ntz))")
+
+
 def streaming_rollup(stream: DataFrame, tier: str = "1m",
                      watermark: str = "10 minutes") -> DataFrame:
     """Continuous tier aggregates with event-time watermarking.
@@ -68,7 +94,7 @@ def streaming_rollup(stream: DataFrame, tier: str = "1m",
     """
     unit = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
     deduped = (
-        stream.withWatermark("ts", watermark)
+        _as_event_time(stream).withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
     )
     points = stream_turn_metrics(deduped)  # watermark propagates
@@ -83,13 +109,14 @@ def streaming_rollup(stream: DataFrame, tier: str = "1m",
             F.max("v").alias("max_v"),
         )
         .select("kind", "series_key", "metric",
-                F.col("w.start").alias("bucket_ts"),
+                _bucket_ntz("w.start").alias("bucket_ts"),
                 "cnt", "sum_v", "min_v", "max_v")
     )
 
 
 ROLLUP_CHUNK_SCHEMA = (
-    "kind string, series_key string, metric string, bucket_ts timestamp, "
+    "kind string, series_key string, metric string, "
+    "bucket_ts timestamp_ntz, "
     "cnt long, sum_v double, min_v double, max_v double, last_v double, "
     "chunk binary"
 )
@@ -129,7 +156,9 @@ def streaming_rollup_chunks(stream: DataFrame, tier: str = "1m",
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            ts_new = pdf["ts"].astype("datetime64[us]").astype("int64")
+            # epoch micros computed JVM-side (unix_micros) — immune to
+            # pandas/session timezone rendering of the ts column
+            ts_new = pdf["ts_us"].astype("int64")
             # drop late-beyond-watermark rows at arrival (the built-in
             # aggregation's rule: strictly older than the watermark is
             # late, ts == watermark is on time); the batch cascade
@@ -188,10 +217,11 @@ def streaming_rollup_chunks(stream: DataFrame, tier: str = "1m",
             state.remove()
 
     deduped = (
-        stream.withWatermark("ts", watermark)
+        _as_event_time(stream).withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
     )
-    points = stream_turn_metrics(deduped)
+    points = stream_turn_metrics(deduped).withColumn(
+        "ts_us", F.unix_micros("ts"))
     return (
         points.groupBy("kind", "series_key", "metric")
         .applyInPandasWithState(
@@ -202,6 +232,47 @@ def streaming_rollup_chunks(stream: DataFrame, tier: str = "1m",
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+_REPLAY_SEQ = [0]
+
+
+def replay_stream(spark, source_path: str, schema: str, transform,
+                  query_name: str = "stream_replay"):
+    """Run a bounded file-source stream to completion in ONE data
+    micro-batch and return the emitted rows as a batch DataFrame.
+
+    Single-batch matters for determinism: the watermark is still at
+    its initial value while the only data batch runs, so no row is
+    ever dropped as late regardless of file listing order, and the
+    terminal no-data batch then flushes exactly the buckets closed by
+    the final watermark ``max(ts) - delay``. The emitted set is a pure
+    function of the data — the property that lets the driver's DuckDB
+    oracle replay it as SQL (closed-bucket filter on max(ts)).
+    """
+    import os
+    import tempfile
+
+    _REPLAY_SEQ[0] += 1
+    name = f"{query_name}_{_REPLAY_SEQ[0]}"
+    if os.path.isfile(source_path):
+        # the file source requires a directory: expose a single-file
+        # input through a symlink in a scratch dir
+        d = tempfile.mkdtemp(prefix="stream_replay_")
+        os.symlink(os.path.abspath(source_path),
+                   os.path.join(d, os.path.basename(source_path)))
+        source_path = d
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    q = (
+        transform(stream).writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 def run_stream_to_memory(spark, source_dir: str, schema: str,

@@ -242,14 +242,14 @@ def test_encode_throughput_vectorized():
     ts = np.cumsum(rng.integers(0, 2_000_000, n)).astype(np.int64)
     vals = np.round(rng.normal(100, 5, n), 2)
     starts = np.arange(0, n, 100, dtype=np.int64)
-    t0 = time.monotonic()
+    t0 = time.process_time()
     chunks = codec.encode_many(ts, vals, starts)
-    dt = time.monotonic() - t0
+    dt = time.process_time() - t0
     assert len(chunks) == 10_000
-    # regression canary, not a benchmark: the bound is ~5x the warm
-    # steady-state (~1s) because this sandbox has multi-second
-    # scheduling noise when the suite shares the host with Spark
-    assert dt < 20.0, f"encode_many too slow: {dt:.1f}s for 1M points"
+    # regression canary, not a benchmark: CPU time (not wall clock — the
+    # suite shares the host with Spark JVMs and wall time has multi-second
+    # scheduling noise). A per-point-Python regression would be >60s CPU.
+    assert dt < 20.0, f"encode_many too slow: {dt:.1f}s CPU for 1M points"
 
 
 # ---------------------------------------------------------------------------

@@ -61,6 +61,30 @@ def test_streaming_emits_most_windows(spark, t_small_df, stream_dir):
     assert got >= 0.8 * total
 
 
+def test_streaming_timezone_independent(spark):
+    """The driver-gate streaming entries must not shift with the
+    session timezone: the NTZ source is reinterpreted arithmetically
+    (epoch == naive micros) before the watermark, and bucket_ts is
+    converted back the same way. Regression for the round-3 fix —
+    with 'ts timestamp' schemas the whole emitted set shifted (and the
+    stateful writer's closed-set even changed size) under non-UTC tz.
+    Asia/Kolkata exercises a non-whole-hour offset."""
+    import __spark_entry__ as em
+
+    q = em.queries()["streaming_rollup_1h"]
+    cols = ["kind", "series_key", "metric", "bucket_ts", "cnt", "sum_v"]
+    base = q(spark, "unused").toPandas()[cols] \
+        .sort_values(cols[:4], kind="mergesort").reset_index(drop=True)
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        shifted = q(spark, "unused").toPandas()[cols] \
+            .sort_values(cols[:4], kind="mergesort").reset_index(drop=True)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    pd.testing.assert_frame_equal(base, shifted)
+
+
 def test_streaming_chunks_match_batch(spark, t_small, t_small_df, stream_dir):
     """The stateful chunk writer (applyInPandasWithState) must emit the
     SAME Gorilla chunks as the batch one-pass writer, bit-for-bit, for
