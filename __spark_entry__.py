@@ -950,19 +950,32 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
+    """Replays the affine-permutation signature exactly: one 60-bit
+    md5-derived base per shingle, split into 30-bit halves, then the
+    SAME (a, b, c) literals as dedup.minhash_coeffs — all int64-exact
+    in both engines (products < 2^61)."""
+    p = dedup.MINHASH_P
     mins = ",\n    ".join(
-        f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(16)
+        f"min((x_hi * {a} + x_lo * {b} + {c}) % {p}) AS h{i}"
+        for i, (a, b, c) in enumerate(dedup.minhash_coeffs(16))
     )
     bands = []
     for b in range(4):
-        cols = " || '|' || ".join(f"h{b * 4 + r}" for r in range(4))
+        cols = " || '|' || ".join(
+            f"h{b * 4 + r}::VARCHAR" for r in range(4))
         bands.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
     band_sql = "\nUNION ALL\n".join(bands)
     return f"""
 WITH {_SQL_SHINGLES},
+based AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT >> 30 AS x_hi,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT & 1073741823 AS x_lo
+  FROM shingled
+),
 sig AS (
   SELECT doc_id, {mins}
-  FROM shingled GROUP BY doc_id
+  FROM based GROUP BY doc_id
 ),
 bands AS ({band_sql})
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -1370,6 +1383,56 @@ def q_streaming_chunks_1h(spark, sf_dir):
                       "cnt", "sum_v", "min_v", "max_v", "last_v")
 
 
+def q_multimodal_real_features(spark, sf_dir):
+    """REAL media decode through the gate: genuine WAV (RIFF 16-bit
+    PCM) and BMP (uncompressed 24-bit) payloads parsed with numpy
+    only (media_codecs), audio features (duration/RMS/ZCR/FFT bands)
+    and image features (channel stats + luminance histogram). The
+    oracle replays the whole generate->parse->featurize pipeline in
+    pure Python and embeds the expected values as literals — exact
+    float64 equality (both sides accumulate the same float32 values
+    in array order)."""
+    from mimir_spark.multimodal import (extract_features,
+                                        synthetic_media_real_df)
+
+    feats = extract_features(synthetic_media_real_df(spark, 48),
+                             feat_dim=16, decoder="real")
+    return feats.select(
+        "media_id", "kind", "feat_dim", "n_bytes",
+        F.element_at("feat", 1).cast("double").alias("feat0"),
+        F.element_at("feat", 16).cast("double").alias("feat15"),
+        F.expr("aggregate(feat, 0D, (acc, x) -> acc + cast(x as double))")
+        .alias("feat_sum"),
+    )
+
+
+def _multimodal_real_oracle() -> str:
+    from mimir_spark.media_codecs import decode_features
+    from mimir_spark.multimodal import real_media_row
+
+    rows = []
+    for i in range(48):
+        r = real_media_row(i)
+        feat = decode_features(bytes(r["payload"]), 16)
+        s = 0.0
+        for x in feat:
+            s += float(x)
+        # quote-and-cast: DuckDB parses bare decimal literals as
+        # DECIMAL, which can land 1 ulp off the strtod double; a
+        # VARCHAR->DOUBLE cast round-trips repr() exactly
+        rows.append(
+            f"({i}, '{r['kind']}', 16, {len(r['payload'])}, "
+            f"CAST('{float(feat[0])!r}' AS DOUBLE), "
+            f"CAST('{float(feat[15])!r}' AS DOUBLE), "
+            f"CAST('{s!r}' AS DOUBLE))")
+    values = ",\n".join(rows)
+    return f"""
+SELECT * FROM (VALUES
+{values}
+) AS t(media_id, kind, feat_dim, n_bytes, feat0, feat15, feat_sum)
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing, oracle-checked end to end: the fake decoder
     is a pure function of the payload (sha256(payload) bytes / 255 as
@@ -1498,6 +1561,7 @@ _QUERIES = {
         "streaming_chunks_1h": q_streaming_chunks_1h,
         "retention_overlay_rollup": q_retention_overlay_rollup,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_features": q_multimodal_real_features,
     }
 
 
@@ -1601,4 +1665,5 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _lsh_ann_oracle(),
         "lsh_ann_topk_bucketed": _lsh_ann_oracle(),
         "multimodal_features": _multimodal_oracle(),
+        "multimodal_real_features": _multimodal_real_oracle(),
     }

@@ -124,19 +124,58 @@ def jaccard_pairs(docs: DataFrame, tau: float, id_col: str = "doc_id",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_MINHASH_SEED = 20260116
+
+
+def minhash_coeffs(num_hashes: int = 16,
+                   seed: int = _MINHASH_SEED) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) triples for the per-permutation
+    universal hash h_i(x) = (a*x_hi + b*x_lo + c) mod P. Exposed so
+    the DuckDB oracle can bake the SAME literals into its replay."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, size=num_hashes)
+    b = rng.integers(1, MINHASH_P, size=num_hashes)
+    c = rng.integers(0, MINHASH_P, size=num_hashes)
+    return [(int(x), int(y), int(z)) for x, y, z in zip(a, b, c)]
+
+
 def minhash_signature(docs: DataFrame, num_hashes: int = 16,
                       id_col: str = "doc_id", text_col: str = "text",
                       n: int = 3, max_df: int | None = None) -> DataFrame:
-    """(doc_id, sig array<string>): sig[i] = min over shingles of
-    md5(shingle || '#' || i). String-min is portable across engines.
+    """(doc_id, sig array<long>): sig[i] = min over shingles of an
+    affine permutation of ONE base hash per shingle.
+
+    One md5 per shingle (the 60-bit portable base), then num_hashes
+    universal-hash permutations h_i = (a_i*x_hi + b_i*x_lo + c_i) mod
+    (2^31-1) over the base's 30-bit halves — every product stays below
+    2^61, so int64 arithmetic is exact and the DuckDB oracle replays it
+    verbatim. This replaces the previous md5(shingle || '#i') scheme:
+    16x fewer md5 calls per shingle occurrence, and the min-aggregates
+    shuffle 8-byte longs instead of 32-char strings. The two-half mix
+    keeps the full 60-bit shingle universe (no mod-P aliasing of
+    distinct shingles into identical signatures).
     ``max_df`` excludes hot shingles from the signature universe."""
     sh = doc_shingles(docs, id_col, text_col, n, max_df=max_df)
+    base = sh.select(
+        "doc_id",
+        _portable_hash60(F.col("shingle")).alias("x"),
+    ).select(
+        "doc_id",
+        F.shiftright("x", 30).alias("x_hi"),
+        F.col("x").bitwiseAND(F.lit((1 << 30) - 1)).alias("x_lo"),
+    )
     mins = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.col("x_hi") * F.lit(a) + F.col("x_lo") * F.lit(b)
+               + F.lit(c)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b, c) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    agg = base.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id",
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,

@@ -1,11 +1,19 @@
 """Multimodal column plumbing: images/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container): ``decoder="fake"`` produces a deterministic payload-derived
-feature so the Spark-side plumbing — schema, partitioning, UDF
-signature, batch shape — is real and testable; ``decoder="real"``
-raises NotImplementedError at the exact point a library call belongs.
+Decode paths:
+
+- ``decoder="fake"``: deterministic payload-derived features — the
+  plumbing (schema, partitioning, UDF signature, batch shape) without
+  any container parsing.
+- ``decoder="real"``: ACTUAL decoding for the containers parseable
+  with numpy alone — RIFF/WAV 16-bit PCM and uncompressed 24-bit BMP
+  (mimir_spark.media_codecs) — with audio features (duration, RMS,
+  zero-crossings, FFT band energies) and image features (channel
+  stats + luminance histogram over a nearest-neighbor thumbnail).
+  Codec formats (JPEG/MP3/H.264) raise NotImplementedError at the
+  exact point an external-library call belongs — those libs are not
+  in this container.
 """
 
 from __future__ import annotations
@@ -56,12 +64,58 @@ def synthetic_media_df(spark, n: int = 64, parallelism: int = 4) -> DataFrame:
     return spark.range(0, n, 1, parallelism).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synthetic_media_real_df(spark, n: int = 48,
+                            parallelism: int = 4) -> DataFrame:
+    """Deterministic media table whose payloads are GENUINE container
+    files: WAV (sine + harmonics, parameters derived from media_id)
+    and BMP (deterministic gradient pattern). Exercises the real
+    decode path end to end; 'video' rows carry a BMP representative
+    frame (frame_sample_plan remains the per-frame scheduling op)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([real_media_row(int(i)) for i in pdf["id"]])
+
+    return spark.range(0, n, 1, parallelism).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def real_media_row(i: int) -> dict:
+    """One deterministic real-container row (pure function of i — the
+    same property that makes the driver oracle a literal replay)."""
+    from . import media_codecs
+
+    kind = ["image", "audio", "video"][i % 3]
+    if kind == "audio":
+        rate = 8000
+        t = np.arange(rate // 2 + 64 * (i % 7)) / rate
+        freq = 110.0 * (1 + i % 12)
+        wave = (0.6 * np.sin(2 * np.pi * freq * t)
+                + 0.3 * np.sin(2 * np.pi * 2 * freq * t))
+        pcm = np.round(wave * 20000).astype(np.int16)
+        payload = media_codecs.encode_wav(pcm, rate)
+        meta = {"mime": "audio/wav", "width": None, "height": None,
+                "duration_ms": int(1000 * len(t) / rate)}
+    else:
+        w, h = 40 + i % 24, 30 + i % 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack([
+            (xx * 255 // max(w - 1, 1)),
+            (yy * 255 // max(h - 1, 1)),
+            ((xx + yy + i) % 256),
+        ], axis=-1).astype(np.uint8)
+        payload = media_codecs.encode_bmp(px)
+        meta = {"mime": "image/bmp", "width": w, "height": h,
+                "duration_ms": 1000 * (i % 7) if kind == "video" else None}
+    return {"media_id": i, "kind": kind, "payload": payload, "meta": meta}
+
+
 def extract_features(media: DataFrame, feat_dim: int = 16,
                      decoder: str = "fake") -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches).
 
-    Real deployment: replace ``_fake_decode`` with PIL/librosa/ffmpeg
-    calls — signature, batching and schema stay identical.
+    ``decoder="real"`` parses WAV/BMP containers with numpy
+    (media_codecs) and raises for codec formats at the exact point an
+    external-library call belongs — signature, batching and schema
+    stay identical when a real deployment swaps in PIL/librosa/ffmpeg.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -72,15 +126,23 @@ def extract_features(media: DataFrame, feat_dim: int = 16,
         reps = int(np.ceil(dim / len(arr)))
         return (np.tile(arr, reps)[:dim] / 255.0).astype(np.float32)
 
+    def _real_decode(payload: bytes, dim: int) -> np.ndarray:
+        from . import media_codecs
+
+        feat = media_codecs.decode_features(payload, dim)
+        if feat is None:
+            raise NotImplementedError(
+                "codec media formats (JPEG/MP3/H.264) need PIL/librosa/"
+                "ffmpeg — not in this container; numpy-native containers "
+                "(RIFF/WAV PCM, uncompressed BMP) decode for real"
+            )
+        return feat
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _fake_decode if decoder == "fake" else _real_decode
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decoding needs PIL/librosa/ffmpeg — not in "
-                    "this container; plumbing verified with decoder='fake'"
-                )
             feats = [
-                _fake_decode(bytes(p), feat_dim) if p is not None else None
+                decode(bytes(p), feat_dim) if p is not None else None
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame({
