@@ -1198,6 +1198,86 @@ LIMIT 10
 """
 
 
+_IVF_SAMPLE = 256
+_IVF_CENTROIDS = 16
+_IVF_NPROBE = 4
+
+
+def _ivf_sample_and_query(path: str):
+    """Deterministic training sample (ORDER BY vec_id LIMIT m) + the
+    query vector (vec_id 0), read driver-side. At 100 TB this is the
+    same `ORDER BY id LIMIT m` collect — a few thousand rows to the
+    driver, never the table."""
+    import duckdb as _duck
+
+    con = _duck.connect()
+    rows = con.sql(
+        f"SELECT embedding FROM read_parquet('{path}') "
+        f"ORDER BY vec_id LIMIT {_IVF_SAMPLE}").fetchall()
+    import numpy as np
+
+    con.close()
+    sample = np.asarray([r[0] for r in rows], dtype=np.float64)
+    return sample, [float(x) for x in sample[0]]
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN — the data-dependent coarse quantizer alongside the
+    data-independent LSH store: deterministic Lloyd k-means
+    (similarity.ivf_train) on an ORDER-BY-id sample, embeddings
+    materialized partitioned by cell id, probe = the nprobe nearest
+    cells as an IN-list on the partition column (pruned scan), exact
+    cosine rerank. The oracle reruns the identical pure-numpy
+    training and replays assignment + probe + rerank in SQL."""
+    import hashlib as _h
+
+    sample, qvec = _ivf_sample_and_query(f"{sf_dir}/embeddings.parquet")
+    cent = similarity.ivf_train(sample, _IVF_CENTROIDS)
+    store = pathlib.Path(__file__).resolve().parent / ".cache" / (
+        "emb_ivf_" + _h.md5(sf_dir.encode()).hexdigest()[:8])
+    similarity.write_embeddings_ivf(_emb(spark, sf_dir), str(store), cent)
+    return similarity.ivf_topk_bucketed(spark, str(store), qvec, 10, cent,
+                                        nprobe=_IVF_NPROBE)
+
+
+def _ivf_ann_oracle() -> str:
+    """Replays the IVF pipeline: identical ivf_train centroids baked
+    as DOUBLE[] literals, cell = 1-based argmax of the dot-product
+    list (list_position = first match, same tie rule as numpy argmax
+    and Spark array_position), probe list precomputed in numpy.
+    NOTE: trains on the sf0.01 table — the scale the driver's
+    correctness gate runs at (tests/test_entry.py pins the same)."""
+    sample, qvec = _ivf_sample_and_query(
+        "/root/testdata/sf0.01/embeddings.parquet")
+    cent = similarity.ivf_train(sample, _IVF_CENTROIDS)
+    probes = similarity.ivf_probe_cells(qvec, cent, _IVF_NPROBE)
+    cents = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[] AS c" + str(i)
+        for i, c in enumerate(cent))
+    dots = ", ".join(
+        f"list_dot_product(e.v, c.c{i})" for i in range(len(cent)))
+    probe_list = ", ".join(str(p) for p in probes)
+    return f"""
+WITH cents AS (SELECT {cents}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT e.vec_id, e.v,
+    list_position([{dots}],
+                  list_aggregate([{dots}], 'max')) AS cell
+  FROM e CROSS JOIN cents c
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT a.vec_id,
+  round(list_dot_product(a.v, q.qv)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+        6) AS cosine
+FROM assigned a, q
+WHERE a.cell IN ({probe_list})
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
 def q_transcript_rollup_1m(spark, sf_dir):
     """Flagship engine path on the committed deterministic transcript
     corpus: ingest (dedup) -> metric explode -> one-pass tiered rollup
@@ -1556,6 +1636,7 @@ _QUERIES = {
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_topk_bucketed": q_lsh_ann_topk_bucketed,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "transcript_rollup_1m": q_transcript_rollup_1m,
         "streaming_rollup_1h": q_streaming_rollup_1h,
         "streaming_chunks_1h": q_streaming_chunks_1h,
@@ -1664,6 +1745,7 @@ def oracle_sql() -> dict[str, str]:
         "parsed_ann_in_doc_query": _PARSED_ANN_IN_DOC_ORACLE,
         "lsh_ann_topk": _lsh_ann_oracle(),
         "lsh_ann_topk_bucketed": _lsh_ann_oracle(),
+        "ivf_ann_topk": _ivf_ann_oracle(),
         "multimodal_features": _multimodal_oracle(),
         "multimodal_real_features": _multimodal_real_oracle(),
     }

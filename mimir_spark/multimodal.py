@@ -161,6 +161,43 @@ def extract_features(media: DataFrame, feat_dim: int = 16,
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int"
+)
+
+
+def resize_images(media: DataFrame, out_h: int, out_w: int,
+                  strict: bool = False) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode, row-local via
+    mapInPandas (no Exchange — same scan-partition discipline as
+    extract_features). BMP payloads are resized for real
+    (media_codecs); non-image or codec-format payloads pass through
+    with NULL output unless ``strict`` (where a library decode
+    belongs)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import media_codecs
+
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                p = r["payload"]
+                if p is not None and media_codecs.sniff_kind(bytes(p)) == "bmp":
+                    px = media_codecs.decode_bmp(bytes(p))
+                    small = media_codecs.resize_nearest(px, out_h, out_w)
+                    out.append((r["media_id"], r["kind"],
+                                media_codecs.encode_bmp(small), out_w, out_h))
+                elif strict:
+                    raise NotImplementedError(
+                        "non-BMP resize needs PIL/ffmpeg — not in this "
+                        "container")
+                else:
+                    out.append((r["media_id"], r["kind"], None, None, None))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "kind", "payload", "width", "height"])
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """Video frame-sampling *plan*: one row per frame to decode
     (expression-level; the decode itself is the stubbed UDF)."""

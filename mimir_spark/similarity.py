@@ -129,6 +129,116 @@ def lsh_topk_bucketed(spark, path: str, query_vec: list[float], k: int,
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the data-dependent coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def ivf_train(sample: np.ndarray, n_centroids: int = 16,
+              iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd k-means on L2-normalized vectors.
+
+    Determinism is the load-bearing property: init = the first
+    n_centroids sample rows (callers sample by ``ORDER BY id LIMIT m``,
+    so the sample itself is deterministic), a FIXED iteration count,
+    ties broken toward the lowest centroid index, and empty cells keep
+    their previous centroid. Both the Spark entry and the DuckDB
+    oracle run this exact function and bake the same centroid
+    literals, so cell assignment is replayable across engines."""
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:n_centroids].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)  # first max -> lowest index
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = cent / np.maximum(
+            np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def ivf_cell_col(vec_col, centroids: np.ndarray):
+    """1-based IVF cell id as a Catalyst expression: argmax over the
+    per-centroid dot products (centroids are plan literals; vectors
+    are compared un-normalized — argmax of dot against UNIT centroids
+    equals argmax of cosine). Ties -> first index, matching both
+    numpy argmax and DuckDB list_position."""
+    v = vec_col.cast("array<double>")
+    dots = F.array(*[
+        _dot_col(v, F.lit(c.tolist()).cast("array<double>"))
+        for c in centroids
+    ])
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def write_embeddings_ivf(embeddings: DataFrame, path: str,
+                         centroids: np.ndarray, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> None:
+    """IVF storage half: parquet partitioned by cell id (at 100 TB an
+    Iceberg table partitioned by cell); probing reads only the nprobe
+    partitions nearest the query — partition pruning at the scan."""
+    out = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+    )
+    out.write.mode("overwrite").partitionBy("cell").parquet(str(path))
+
+
+def ivf_probe_cells(query_vec: list[float], centroids: np.ndarray,
+                    nprobe: int) -> list[int]:
+    """1-based ids of the nprobe centroids nearest the query
+    (driver-side numpy; ties broken by lower cell id)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    sims = centroids @ q
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return [int(i) + 1 for i in order[:nprobe]]
+
+
+def ivf_topk_bucketed(spark, path: str, query_vec: list[float], k: int,
+                      centroids: np.ndarray, nprobe: int = 4) -> DataFrame:
+    """Approximate cosine top-k over the cell-partitioned IVF store:
+    the nprobe nearest cells become an IN-list on the partition
+    column (pruned scan), then exact cosine reranks the candidates."""
+    probes = ivf_probe_cells(query_vec, centroids, nprobe)
+    df = spark.read.parquet(str(path)).filter(F.col("cell").isin(probes))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qcol = F.lit(q.tolist()).cast("array<double>")
+    sim = _dot_col(F.col("v"), qcol) / (_norm_col(F.col("v")) * _norm_col(qcol))
+    return (
+        df.select("vec_id", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int,
+             centroids: np.ndarray, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """In-memory IVF variant: assign cells on the fly, filter to the
+    probe set, exact cosine rerank (full scan + cheap filter; the
+    scale path is write_embeddings_ivf + ivf_topk_bucketed)."""
+    probes = ivf_probe_cells(query_vec, centroids, nprobe)
+    assigned = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qcol = F.lit(q.tolist()).cast("array<double>")
+    sim = _dot_col(F.col("v"), qcol) / (_norm_col(F.col("v")) * _norm_col(qcol))
+    return (
+        assigned.filter(F.col("cell").isin(probes))
+        .select("vec_id", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def all_pairs_topk(embeddings: DataFrame, k: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """k nearest neighbours for EVERY vector (brute-force; useful as the

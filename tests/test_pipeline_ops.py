@@ -345,6 +345,33 @@ def test_multimodal_real_decode_end_to_end(spark):
         assert np.array_equal(np.asarray(r["feat"], dtype=np.float32), want)
 
 
+def test_resize_images_real(spark):
+    """Spark-side resize: BMP payloads come back as valid BMPs of the
+    target shape, pixel-equal to a local nearest-neighbor resize of
+    the decoded original; non-BMP payloads pass through as NULL."""
+    from mimir_spark import media_codecs as mc
+    from mimir_spark.multimodal import (real_media_row, resize_images,
+                                        synthetic_media_real_df)
+
+    media = synthetic_media_real_df(spark, 12)
+    out = resize_images(media, 8, 10).toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert len(out) == 12
+    plan = resize_images(media, 8, 10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for _, r in out.iterrows():
+        src = real_media_row(int(r["media_id"]))
+        if mc.sniff_kind(bytes(src["payload"])) == "bmp":
+            got = mc.decode_bmp(bytes(r["payload"]))
+            want = mc.resize_nearest(
+                mc.decode_bmp(bytes(src["payload"])), 8, 10)
+            assert got.shape == (8, 10, 3)
+            assert np.array_equal(got, want)
+        else:
+            assert r["payload"] is None
+
+
 def test_frame_sample_plan(spark):
     from mimir_spark.multimodal import frame_sample_plan, synthetic_media_df
 
@@ -383,6 +410,46 @@ def test_lsh_bucketed_store_prunes_partitions(spark, emb, tmp_path_factory):
     assert "DataFilters: []" in plan
     # the store has more partitions than the probe set touches
     n_all = len({f.split("bucket=")[1].split("/")[0]
+                 for f in spark.read.parquet(path).inputFiles()})
+    assert len(probes) < n_all
+
+
+def test_ivf_store_prunes_and_matches_inmemory(spark, emb, emb_pdf,
+                                               tmp_path_factory):
+    """IVF scale path: deterministic k-means centroids, cell-partitioned
+    store, nprobe partition pruning; bucketed == in-memory; recall@10
+    vs brute force is sane for a 4/16-cell probe."""
+    sample = np.asarray(
+        emb_pdf.sort_values("vec_id").head(256)["embedding"].tolist(),
+        dtype=np.float64)
+    cent = similarity.ivf_train(sample, 16)
+    assert cent.shape == (16, sample.shape[1])
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    # training determinism
+    assert np.array_equal(cent, similarity.ivf_train(sample, 16))
+
+    q = [float(x) for x in sample[0]]
+    path = str(tmp_path_factory.mktemp("ivfstore") / "emb_ivf")
+    similarity.write_embeddings_ivf(emb, path, cent)
+    got = similarity.ivf_topk_bucketed(spark, path, q, 10, cent,
+                                       nprobe=4).toPandas()
+    mem = similarity.ivf_topk(emb, q, 10, cent, nprobe=4).toPandas()
+    assert got["vec_id"].tolist() == mem["vec_id"].tolist()
+    assert np.allclose(got["cosine"], mem["cosine"])
+
+    exact = similarity.brute_force_topk(emb, q, 10).toPandas()
+    recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.5, f"IVF recall@10 {recall} too low"
+
+    # plan evidence: the nprobe IN-list prunes partitions at the scan
+    probes = similarity.ivf_probe_cells(q, cent, 4)
+    from pyspark.sql import functions as F2
+    scan = spark.read.parquet(path).filter(F2.col("cell").isin(probes))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "cell" in pf[1].split("]", 1)[0], plan
+    assert "DataFilters: []" in plan
+    n_all = len({f.split("cell=")[1].split("/")[0]
                  for f in spark.read.parquet(path).inputFiles()})
     assert len(probes) < n_all
 
