@@ -179,19 +179,19 @@ def resize_images(media: DataFrame, out_h: int, out_w: int,
 
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                p = r["payload"]
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"],
+                                    pdf["payload"]):
                 if p is not None and media_codecs.sniff_kind(bytes(p)) == "bmp":
                     px = media_codecs.decode_bmp(bytes(p))
                     small = media_codecs.resize_nearest(px, out_h, out_w)
-                    out.append((r["media_id"], r["kind"],
+                    out.append((mid, kind,
                                 media_codecs.encode_bmp(small), out_w, out_h))
                 elif strict:
                     raise NotImplementedError(
                         "non-BMP resize needs PIL/ffmpeg — not in this "
                         "container")
                 else:
-                    out.append((r["media_id"], r["kind"], None, None, None))
+                    out.append((mid, kind, None, None, None))
             yield pd.DataFrame(out, columns=[
                 "media_id", "kind", "payload", "width", "height"])
 

@@ -326,6 +326,48 @@ def test_media_feature_shapes_and_determinism():
     assert fa[0] > 0.4 and fa[1] > 0.1
 
 
+def test_media_codec_fuzz_roundtrips():
+    """Property: encode/decode is the identity for every shape —
+    random PCM lengths/channels/rates and random (odd-width) images."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mimir_spark import media_codecs as mc
+
+    @settings(max_examples=40, deadline=None)
+    @given(n=st.integers(1, 2000), ch=st.integers(1, 4),
+           rate=st.sampled_from([8000, 16000, 44100]),
+           seed=st.integers(0, 2**31 - 1))
+    def wav_case(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        pcm = rng.integers(-32768, 32767, size=n * ch).astype(np.int16)
+        samples, r2, c2 = mc.decode_wav(mc.encode_wav(pcm, rate, ch))
+        assert (r2, c2) == (rate, ch)
+        assert np.array_equal(samples.reshape(-1), pcm)
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           seed=st.integers(0, 2**31 - 1))
+    def bmp_case(h, w, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(mc.decode_bmp(mc.encode_bmp(px)), px)
+
+    wav_case()
+    bmp_case()
+
+
+def test_media_codec_rejects_garbage():
+    from mimir_spark import media_codecs as mc
+
+    with pytest.raises(ValueError):
+        mc.decode_wav(b"RIFFxxxxNOPE" + b"\0" * 16)
+    with pytest.raises(ValueError):
+        mc.decode_bmp(b"XY" + b"\0" * 60)
+    assert mc.sniff_kind(b"\x89PNG\r\n") is None
+    assert mc.decode_features(b"\x89PNG\r\n\x1a\n" + b"\0" * 64) is None
+
+
 def test_multimodal_real_decode_end_to_end(spark):
     """decoder='real' over genuine WAV/BMP payloads: every row decodes,
     matches the pure-python replay, and the plan stays Exchange-free."""
