@@ -81,9 +81,32 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     if max_df is None:
         return sh
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    _SHINGLE_CACHES.append(sh)
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
            .filter(F.col("_df") > max_df).select("shingle"))
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+_SHINGLE_CACHES: list = []
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every shingle stream cached by doc_shingles.
+
+    The persist must outlive the (lazy) query that uses it, so
+    doc_shingles cannot scope it itself; long-lived sessions that run
+    many dedup queries call this between queries to keep at most one
+    cache alive (the driver-gate entries do). Returns the number of
+    caches released."""
+    n = 0
+    while _SHINGLE_CACHES:
+        df = _SHINGLE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped
+            pass
+    return n
 
 
 def jaccard_pairs(docs: DataFrame, tau: float, id_col: str = "doc_id",

@@ -214,8 +214,9 @@ class TieredStore:
         each shard's directories and write its lineage marker — data
         first, lineage second, a shard is done iff its lineage row is
         readable. This is the backend-specific half of run_rollup_job;
-        the Iceberg backend replaces it with one overwritePartitions
-        snapshot + a lineage-table MERGE (sources/iceberg_store.py)."""
+        the Iceberg backend replaces it with one conditional-overwrite
+        snapshot (p IN pending — whole-shard replace) + a lineage-table
+        MERGE (sources/iceberg_store.py)."""
         staging = self.root / "_staging" / f"job={job_id}"
         if staging.exists():
             shutil.rmtree(staging)
@@ -252,7 +253,8 @@ class TieredStore:
             stats = []
         by_p = {r["p"]: r for r in stats}
         results = []
-        for p in pending:
+        for row in lineage_rows_from_stats(pending, by_p, job_id):
+            p = row["partition_id"]
             for tier in tiers:
                 src_dir = staging / f"tier={tier}" / f"p={p}"
                 if src_dir.exists():
@@ -261,16 +263,6 @@ class TieredStore:
                         shutil.rmtree(dst)
                     dst.parent.mkdir(parents=True, exist_ok=True)
                     src_dir.rename(dst)
-            r = by_p.get(p)
-            row = {
-                "job_id": job_id,
-                "partition_id": p,
-                "rows_in": int(r["rows_in"]) if r else 0,
-                "points_out": int(r["points_out"]) if r else 0,
-                "bytes_compressed": int(r["bytes"]) if r else 0,
-                "committed_at": pd.Timestamp(int(time.time() * 1_000_000),
-                                             unit="us"),
-            }
             self.commit_lineage(row)
             results.append(row)
         shutil.rmtree(staging, ignore_errors=True)
@@ -279,6 +271,27 @@ class TieredStore:
         except OSError:
             pass
         return results
+
+
+def lineage_rows_from_stats(pending: list[int], by_p: dict,
+                            job_id: str) -> list[dict]:
+    """Per-shard lineage rows from aggregated stats — the ONE place
+    the lineage record shape lives, shared by both store backends so
+    their schemas cannot drift (a shard with no staged output gets an
+    explicit zero-count row, which is what marks it done)."""
+    rows = []
+    for p in pending:
+        r = by_p.get(p)
+        rows.append({
+            "job_id": job_id,
+            "partition_id": p,
+            "rows_in": int(r["rows_in"]) if r else 0,
+            "points_out": int(r["points_out"]) if r else 0,
+            "bytes_compressed": int(r["bytes"]) if r else 0,
+            "committed_at": pd.Timestamp(int(time.time() * 1_000_000),
+                                         unit="us"),
+        })
+    return rows
 
 
 def tiered_store(spec, spark: SparkSession | None = None):

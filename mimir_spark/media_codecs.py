@@ -46,7 +46,8 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000,
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     """-> (samples int16 [n, channels], sample_rate, n_channels).
     Walks RIFF chunks, so extra chunks (LIST/INFO) are tolerated."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
     end = min(end, len(payload))
@@ -57,6 +58,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         chunk = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(chunk) < 16:
+                raise ValueError(f"fmt chunk truncated ({len(chunk)} bytes)")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
         elif cid == b"data":
             data = chunk
@@ -67,6 +70,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(
+            f"invalid fmt: channels={n_channels} rate={sample_rate}")
     samples = np.frombuffer(data, dtype="<i2")
     n = len(samples) - len(samples) % max(n_channels, 1)
     return samples[:n].reshape(-1, n_channels), sample_rate, n_channels
@@ -122,7 +128,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 
 def decode_bmp(payload: bytes) -> np.ndarray:
     """-> uint8 [h, w, 3] RGB (row 0 = top)."""
-    if payload[:2] != b"BM":
+    if len(payload) < 34 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     offset = struct.unpack("<I", payload[10:14])[0]
     hdr_size = struct.unpack("<I", payload[14:18])[0]
@@ -137,8 +143,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             f"compression={compression})")
     bottom_up = h > 0
     h = abs(h)
+    if w < 1 or h < 1:
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     row_bytes = w * 3
     stride = row_bytes + ((-row_bytes) % 4)
+    if offset + stride * h > len(payload):
+        raise ValueError("BMP pixel data truncated")
     rows = np.frombuffer(payload, dtype=np.uint8,
                          count=stride * h, offset=offset)
     rows = rows.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)

@@ -7,7 +7,7 @@ documented op mapping (lineage.py module docstring) becomes real calls:
 
 | parquet backend                       | Iceberg backend                |
 |---------------------------------------|--------------------------------|
-| atomic ``p=`` directory replace       | ``overwritePartitions`` commit |
+| atomic ``p=`` directory replace       | conditional ``overwrite(p=…)`` |
 | lineage marker file per shard         | MERGE INTO lineage table       |
 | ``expire`` = rmtree date dirs         | DELETE on partition predicate  |
 | staged write + rename promote         | one snapshot commit            |
@@ -20,8 +20,6 @@ guard (not the methods) is what the sandbox tests cover.
 """
 
 from __future__ import annotations
-
-import time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -86,9 +84,11 @@ class IcebergTieredStore:
             .withColumn("p", F.lit(partition_id))
             .withColumn("bucket_date", F.to_date("bucket_ts"))
         )
-        # replaces exactly the (tier, p, *) partitions present in `out`
-        # in one snapshot — the directory-rename analogue
-        out.writeTo(self.table).overwritePartitions()
+        # whole-shard replace in one snapshot (the directory-rename
+        # analogue): the condition also clears bucket_date partitions
+        # absent from this write, matching the parquet backend
+        out.writeTo(self.table).overwrite(
+            (F.col("tier") == tier) & (F.col("p") == int(partition_id)))
 
     def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
         return spark.table(self.table).filter(F.col("tier") == tier)
@@ -118,12 +118,25 @@ class IcebergTieredStore:
             .withColumn("kind", parts.getItem(1))
             .withColumn("bucket_date", F.to_date("bucket_ts"))
         )
-        out.writeTo(self.table).overwritePartitions()
+        # conditional overwrite: ONE snapshot replaces the whole target
+        # tier with the cascade output (overwritePartitions would keep
+        # stale (p, bucket_date) partitions absent from `out` — the
+        # parquet backend replaces whole shard dirs, so match that)
+        out.writeTo(self.table).overwrite(F.col("tier") == to_tier)
         # bin-pack small files produced by the overwrite
         self.spark.sql(
-            f"CALL {self.table.split('.')[0]}.system.rewrite_data_files"
-            f"(table => '{self.table}', where => 'tier = \"{to_tier}\"')")
+            f"CALL {self._catalog()}.system.rewrite_data_files"
+            f"(table => '{self.table}', where => 'tier = ''{to_tier}''')")
         return out.select("p").distinct().count()
+
+    def _catalog(self) -> str:
+        """Catalog component for system-procedure CALLs: a 3-part
+        identifier names it explicitly; 2-part identifiers resolve in
+        the session's current catalog."""
+        parts = self.table.split(".")
+        if len(parts) >= 3:
+            return parts[0]
+        return self.spark.catalog.currentCatalog()
 
     def upgrade_tier(self, spark: SparkSession, tier: str,
                      max_points: int | None = None) -> int:
@@ -135,7 +148,7 @@ class IcebergTieredStore:
                 lambda b: _codec.upgrade_chunk(bytes(b), max_points))
 
         df = self.read_tier(spark, tier).withColumn("chunk", _up("chunk"))
-        df.writeTo(self.table).overwritePartitions()
+        df.writeTo(self.table).overwrite(F.col("tier") == tier)
         return df.select("p").distinct().count()
 
     # -- lineage ---------------------------------------------------------
@@ -172,17 +185,21 @@ class IcebergTieredStore:
     def commit_job_output(self, spark: SparkSession, out: DataFrame,
                           pending: list[int], tiers: tuple[str, ...],
                           job_id: str, finest: str) -> list[dict]:
-        """One ``overwritePartitions`` snapshot replaces every pending
-        shard's partitions atomically (no staging directory needed —
-        the snapshot IS the stage+promote), then per-shard lineage rows
-        are MERGEd. Stats are aggregated from the committed table,
-        which Iceberg serves with partition pruning on (tier, p)."""
-        out.writeTo(self.table).overwritePartitions()
+        """One conditional-overwrite snapshot replaces every pending
+        SHARD wholesale — ``overwrite(p IN pending)`` deletes the
+        shards' previous rows (including (tier, bucket_date)
+        partitions absent from this run's output, exactly like the
+        parquet backend's whole-directory replace) and inserts the new
+        output in the same commit. Per-shard stats then aggregate from
+        the freshly committed rows (partition-pruned on p), and
+        lineage rows are MERGEd — data first, lineage second."""
+        shard_ids = [int(p) for p in pending]
+        out.writeTo(self.table).overwrite(F.col("p").isin(shard_ids))
         is_turnrate = ((F.col("tier") == finest) & (F.col("kind") == "conv")
                        & (F.col("metric") == "turn_rate"))
         stats = (
             spark.table(self.table)
-            .filter(F.col("p").isin([int(p) for p in pending]))
+            .filter(F.col("p").isin(shard_ids))
             .groupBy("p")
             .agg(
                 F.count("*").alias("points_out"),
@@ -192,19 +209,11 @@ class IcebergTieredStore:
             )
             .collect()
         )
+        from ..lineage import lineage_rows_from_stats
+
         by_p = {r["p"]: r for r in stats}
         results = []
-        for p in pending:
-            r = by_p.get(p)
-            row = {
-                "job_id": job_id,
-                "partition_id": p,
-                "rows_in": int(r["rows_in"]) if r else 0,
-                "points_out": int(r["points_out"]) if r else 0,
-                "bytes_compressed": int(r["bytes"]) if r else 0,
-                "committed_at": pd.Timestamp(int(time.time() * 1_000_000),
-                                             unit="us"),
-            }
+        for row in lineage_rows_from_stats(pending, by_p, job_id):
             self.commit_lineage(row)
             results.append(row)
         return results

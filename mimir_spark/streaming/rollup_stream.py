@@ -63,24 +63,38 @@ def _as_event_time(stream: DataFrame) -> DataFrame:
     must not pick up the session timezone on the way in, or every
     bucket boundary and the watermark itself would shift with the
     driver's tz. Reinterpret: instant whose epoch micros EQUAL the
-    naive micros. Wall algebra: cast(ntz w) has session wall w and
-    epoch w+off; from_utc_timestamp shifts the wall to w-off, so the
-    result's epoch is exactly w for ANY session timezone."""
+    naive micros, computed from the NTZ FIELDS (unix_date + hour/min/
+    second extraction) — pure arithmetic, no wall<->instant conversion
+    anywhere, so it cannot be bitten by DST gap/overlap walls the way
+    a cast + from_utc_timestamp round trip can."""
     from pyspark.sql.types import TimestampNTZType
 
     if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
-        return stream.withColumn(
-            "ts", F.from_utc_timestamp(F.col("ts").cast("timestamp"),
-                                       F.expr("current_timezone()")))
+        epoch_us = (
+            F.unix_date(F.col("ts").cast("date"))
+            .cast("long") * F.lit(86_400_000_000)
+            + F.expr("extract(HOUR FROM ts)").cast("long")
+            * F.lit(3_600_000_000)
+            + F.expr("extract(MINUTE FROM ts)").cast("long")
+            * F.lit(60_000_000)
+            # SECOND extraction is DECIMAL(8,6) incl. the micro part
+            + F.expr(
+                "cast(extract(SECOND FROM ts) * 1000000 as bigint)")
+        )
+        return stream.withColumn("ts", F.timestamp_micros(epoch_us))
     return stream
 
 
 def _bucket_ntz(col):
     """Instant -> tz-naive bucket timestamp showing the UTC wall time
-    (the inverse of _as_event_time; identity under a UTC session)."""
+    (the inverse of _as_event_time). Pure epoch arithmetic again:
+    epoch 0 NTZ + an exact day-time interval, immune to the session
+    timezone and its DST transitions."""
     return F.expr(
-        f"convert_timezone(current_timezone(), 'UTC', "
-        f"cast({col} as timestamp_ntz))")
+        f"timestamp_ntz '1970-01-01 00:00:00' + make_dt_interval("
+        f"cast(unix_micros({col}) div 86400000000 as int), 0, 0, "
+        f"cast(unix_micros({col}) % 86400000000 as decimal(20, 6)) "
+        f"/ 1000000)")
 
 
 def streaming_rollup(stream: DataFrame, tier: str = "1m",
@@ -251,17 +265,20 @@ def replay_stream(spark, source_path: str, schema: str, transform,
     oracle replay it as SQL (closed-bucket filter on max(ts)).
     """
     import os
+    import shutil
     import tempfile
 
     _REPLAY_SEQ[0] += 1
     name = f"{query_name}_{_REPLAY_SEQ[0]}"
+    scratch = None
     if os.path.isfile(source_path):
         # the file source requires a directory: expose a single-file
-        # input through a symlink in a scratch dir
-        d = tempfile.mkdtemp(prefix="stream_replay_")
+        # input through a symlink in a scratch dir (removed below —
+        # the memory sink holds the results once the stream stops)
+        scratch = tempfile.mkdtemp(prefix="stream_replay_")
         os.symlink(os.path.abspath(source_path),
-                   os.path.join(d, os.path.basename(source_path)))
-        source_path = d
+                   os.path.join(scratch, os.path.basename(source_path)))
+        source_path = scratch
     stream = spark.readStream.schema(schema).parquet(source_path)
     q = (
         transform(stream).writeStream.outputMode("append")
@@ -272,6 +289,11 @@ def replay_stream(spark, source_path: str, schema: str, transform,
         q.processAllAvailable()
     finally:
         q.stop()
+        if scratch is not None:
+            shutil.rmtree(scratch, ignore_errors=True)
+    # NOTE: the seq-suffixed memory-sink view stays registered for the
+    # session (it backs the returned DataFrame); callers that replay
+    # many streams can dropTempView(old) once they've consumed it
     return spark.table(name)
 
 

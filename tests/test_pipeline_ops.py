@@ -358,14 +358,42 @@ def test_media_codec_fuzz_roundtrips():
 
 
 def test_media_codec_rejects_garbage():
+    """Every malformed payload fails with the documented ValueError —
+    never struct.error / ZeroDivisionError / a silent empty image."""
+    import struct
+
     from mimir_spark import media_codecs as mc
 
     with pytest.raises(ValueError):
         mc.decode_wav(b"RIFFxxxxNOPE" + b"\0" * 16)
     with pytest.raises(ValueError):
+        mc.decode_wav(b"RIFF")  # shorter than any header
+    with pytest.raises(ValueError):
         mc.decode_bmp(b"XY" + b"\0" * 60)
     assert mc.sniff_kind(b"\x89PNG\r\n") is None
     assert mc.decode_features(b"\x89PNG\r\n\x1a\n" + b"\0" * 64) is None
+
+    # truncated fmt chunk (8 bytes) -> ValueError, not struct.error
+    bad = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 8) + b"\0" * 8)
+    with pytest.raises(ValueError):
+        mc.decode_wav(bad)
+    # zero sample rate -> ValueError, not ZeroDivisionError downstream
+    zfmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + zfmt
+           + b"data" + struct.pack("<I", 4) + b"\0" * 4)
+    with pytest.raises(ValueError):
+        mc.decode_wav(bad)
+    # negative-width BMP -> ValueError, not a silent (h, 0, 3) image
+    good = bytearray(mc.encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8)))
+    good[18:22] = struct.pack("<i", -4)
+    with pytest.raises(ValueError):
+        mc.decode_bmp(bytes(good))
+    # truncated pixel data -> ValueError
+    whole = mc.encode_bmp(np.zeros((8, 8, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        mc.decode_bmp(whole[:len(whole) - 10])
 
 
 def test_multimodal_real_decode_end_to_end(spark):

@@ -85,6 +85,60 @@ def test_streaming_timezone_independent(spark):
     pd.testing.assert_frame_equal(base, shifted)
 
 
+def test_streaming_dst_edge_walls(spark, tmp_path_factory):
+    """NTZ wall times inside a DST gap (2026-03-08 02:30 America/
+    New_York does not exist) or overlap (2026-11-01 01:30 occurs
+    twice) must still land in their naive buckets when the session tz
+    is America/New_York — the pure-arithmetic event-time path never
+    consults the timezone, so no row can shift an hour."""
+    import numpy as np
+
+    from mimir_spark.fixtures import TRANSCRIPT_SCHEMA_NTZ
+    from mimir_spark.streaming.rollup_stream import (replay_stream,
+                                                     streaming_rollup)
+
+    walls = [
+        "2026-03-08 02:30:00",   # spring-forward gap in NY
+        "2026-11-01 01:30:00",   # fall-back overlap in NY
+        "2026-03-08 01:59:59",
+        "2026-11-01 02:10:00",
+        "2026-11-02 12:00:00",   # late row that closes the others
+    ]
+    pdf = pd.DataFrame({
+        "conv_id": "c",
+        "turn_idx": np.arange(len(walls), dtype=np.int32),
+        "role": "user",
+        "text": "one two three",
+        "tool": pd.array([None] * len(walls), dtype="string"),
+        "ts": pd.to_datetime(walls),
+    })
+    d = tmp_path_factory.mktemp("dst_src")
+    pdf.to_parquet(str(d / "part.parquet"), index=False,
+                   coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = replay_stream(
+            spark, str(d), TRANSCRIPT_SCHEMA_NTZ,
+            lambda s: streaming_rollup(s, tier="1h",
+                                       watermark="10 minutes"),
+            "dst_gate").toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+    got = out[out["metric"] == "turn_rate"] \
+        .set_index(out[out["metric"] == "turn_rate"]["bucket_ts"]
+                   .astype("datetime64[us]"))["cnt"].to_dict()
+    want = {
+        pd.Timestamp("2026-03-08 01:00:00"): 1,
+        pd.Timestamp("2026-03-08 02:00:00"): 1,
+        pd.Timestamp("2026-11-01 01:00:00"): 1,
+        pd.Timestamp("2026-11-01 02:00:00"): 1,
+    }
+    assert got == want, got
+
+
 def test_streaming_chunks_match_batch(spark, t_small, t_small_df, stream_dir):
     """The stateful chunk writer (applyInPandasWithState) must emit the
     SAME Gorilla chunks as the batch one-pass writer, bit-for-bit, for
