@@ -153,3 +153,18 @@ def rolling_hashes(text_col: str = "text", window: int = 8) -> Column:
     return F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window)))
     )
+
+
+def hex_doc_id(id_col) -> Column:
+    """Doc id as a 16-hex-digit term, zero-padded so LEXICOGRAPHIC
+    order equals NUMERIC order — the direct index's doc-id term scheme
+    (reference: index/AtomicIndex.java:586-589). The inverse is
+    ``doc_id_from_hex``."""
+    return F.format_string("%016x", F.col(id_col) if isinstance(id_col, str)
+                           else id_col)
+
+
+def doc_id_from_hex(hex_col) -> Column:
+    """Inverse of ``hex_doc_id``: 16-hex-digit term -> bigint id."""
+    col = F.col(hex_col) if isinstance(hex_col, str) else hex_col
+    return F.conv(col, 16, 10).cast("long")

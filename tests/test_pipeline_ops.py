@@ -96,6 +96,23 @@ def test_fingerprint_matches_md5(docs, docs_pdf):
         assert got[r.doc_id] == hashlib.md5(norm.encode()).hexdigest()
 
 
+def test_hex_doc_id_roundtrip_and_order(spark):
+    """The direct-index doc-id term scheme: 16 hex digits, zero-padded
+    so lexicographic order == numeric order, and exactly invertible."""
+    ids = [0, 1, 9, 15, 16, 255, 2**31, 2**40 + 7, 2**53]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = df.select(
+        "doc_id",
+        TX.hex_doc_id("doc_id").alias("term"),
+        TX.doc_id_from_hex(TX.hex_doc_id("doc_id")).alias("back"),
+    ).toPandas()
+    assert (out["back"] == out["doc_id"]).all()
+    assert out["term"].str.len().eq(16).all()
+    by_num = out.sort_values("doc_id")["term"].tolist()
+    by_lex = sorted(out["term"])
+    assert by_num == by_lex
+
+
 def test_rolling_hashes_shape(docs):
     out = docs.select("doc_id", TX.rolling_hashes(window=8).alias("rh"),
                       TX.token_count().alias("n")).toPandas()
