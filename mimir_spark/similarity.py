@@ -19,22 +19,31 @@ def _dot_col(u, v):
                        F.lit(0.0), lambda a, x: a + x)
 
 
+def _rerank_cosine(candidates: DataFrame, query_vec, k: int) -> DataFrame:
+    """Exact cosine rerank of candidate (vec_id, v) rows against one
+    query literal — the shared tail of every ANN variant. orderBy +
+    limit compiles to TakeOrderedAndProject (per-partition heaps +
+    driver merge of k)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qcol = F.lit(q.tolist()).cast("array<double>")
+    sim = _dot_col(F.col("v"), qcol) / (_norm_col(F.col("v")) * _norm_col(qcol))
+    return (
+        candidates.select("vec_id", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def brute_force_topk(embeddings: DataFrame, query_vec: list[float], k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k for one query vector.
 
     The query is a literal array (broadcast by Catalyst as a constant);
-    the scan is embarrassingly parallel; orderBy+limit compiles to
-    TakeOrderedAndProject (per-partition heaps + driver merge of k)."""
-    q = F.lit(np.asarray(query_vec, dtype=np.float64).tolist()).cast("array<double>")
-    v = F.col(vec_col).cast("array<double>")
-    sim = _dot_col(v, q) / (_norm_col(v) * _norm_col(q))
-    return (
+    the scan is embarrassingly parallel."""
+    return _rerank_cosine(
         embeddings.select(F.col(id_col).alias("vec_id"),
-                          F.round(sim, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
-    )
+                          F.col(vec_col).cast("array<double>").alias("v")),
+        query_vec, k)
 
 
 def hyperplane_signature(embeddings: DataFrame, n_planes: int = 12, dim: int = 64,
@@ -69,14 +78,7 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int,
     q = np.asarray(query_vec, dtype=np.float64)
     qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ q) > 0))
     probe = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig))) <= probe_hamming
-    qcol = F.lit(q.tolist()).cast("array<double>")
-    sim = _dot_col(F.col("v"), qcol) / (_norm_col(F.col("v")) * _norm_col(qcol))
-    return (
-        sigs.filter(probe)
-        .select("vec_id", F.round(sim, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _rerank_cosine(sigs.filter(probe), q, k)
 
 
 def query_signature(query_vec: list[float], n_planes: int = 12,
@@ -119,14 +121,7 @@ def lsh_topk_bucketed(spark, path: str, query_vec: list[float], k: int,
     probes = [b for b in range(1 << n_planes)
               if bin(b ^ qsig).count("1") <= probe_hamming]
     df = spark.read.parquet(str(path)).filter(F.col("bucket").isin(probes))
-    q = np.asarray(query_vec, dtype=np.float64)
-    qcol = F.lit(q.tolist()).cast("array<double>")
-    sim = _dot_col(F.col("v"), qcol) / (_norm_col(F.col("v")) * _norm_col(qcol))
-    return (
-        df.select("vec_id", F.round(sim, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _rerank_cosine(df, query_vec, k)
 
 
 # ---------------------------------------------------------------------------
@@ -206,14 +201,7 @@ def ivf_topk_bucketed(spark, path: str, query_vec: list[float], k: int,
     column (pruned scan), then exact cosine reranks the candidates."""
     probes = ivf_probe_cells(query_vec, centroids, nprobe)
     df = spark.read.parquet(str(path)).filter(F.col("cell").isin(probes))
-    q = np.asarray(query_vec, dtype=np.float64)
-    qcol = F.lit(q.tolist()).cast("array<double>")
-    sim = _dot_col(F.col("v"), qcol) / (_norm_col(F.col("v")) * _norm_col(qcol))
-    return (
-        df.select("vec_id", F.round(sim, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _rerank_cosine(df, query_vec, k)
 
 
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int,
@@ -228,15 +216,8 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int,
         F.col(vec_col).cast("array<double>").alias("v"),
         ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
     )
-    q = np.asarray(query_vec, dtype=np.float64)
-    qcol = F.lit(q.tolist()).cast("array<double>")
-    sim = _dot_col(F.col("v"), qcol) / (_norm_col(F.col("v")) * _norm_col(qcol))
-    return (
-        assigned.filter(F.col("cell").isin(probes))
-        .select("vec_id", F.round(sim, 6).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
-        .limit(k)
-    )
+    return _rerank_cosine(assigned.filter(F.col("cell").isin(probes)),
+                          query_vec, k)
 
 
 def all_pairs_topk(embeddings: DataFrame, k: int, id_col: str = "vec_id",
