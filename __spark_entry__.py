@@ -626,6 +626,24 @@ def q_terms_topk_documents(spark, sf_dir):
     return TERMS.top_k_terms(toks, 20)
 
 
+def q_terms_topk_indexed(spark, sf_dir):
+    """The SAME top-k facet as terms_topk_documents, served from the
+    materialized DIRECT index (sources/token_index.write_term_doc_index
+    — the term<->doc transpose with per-doc tf the reference stores,
+    AtomicIndex.java:1089-1271): count = sum(tf) over the
+    vocabulary-sized transpose instead of tokenizing the corpus. Same
+    oracle as the scan-based entry — the two paths must agree exactly."""
+    import hashlib as _h
+
+    from mimir_spark.sources import token_index as TI
+
+    store = pathlib.Path(__file__).resolve().parent / ".cache" / (
+        "termdoc_" + _h.md5(sf_dir.encode()).hexdigest()[:8])
+    TI.write_term_doc_index(_docs(spark, sf_dir), str(store))
+    counts = TI.term_counts_indexed(spark, str(store))
+    return TERMS.limit_terms(TERMS.sorted_terms(counts), 20)
+
+
 def _sw_list() -> str:
     # single quotes doubled for SQL ('s and ' are in the reference list)
     return ", ".join("'" + w.replace("'", "''") + "'"
@@ -1280,6 +1298,61 @@ LIMIT 10
 """
 
 
+def q_indexed_term_query(spark, sf_dir):
+    """TermQuery as a POSTINGS LOOKUP through the gate — the inverted-
+    index analogue (MG4J postings; TermQuery.java:147-185 skipTo): the
+    committed fixture is ingested (canonical dedup), materialized as a
+    term-bucket-partitioned index (sources/token_index: partition
+    pruning on the md5-derived term bucket + the equality predicate
+    pushed into the pruned scan, plan-asserted in pytest), and
+    'taverpe IN {Document n_tool_turns >= 8}' runs with the parser's
+    term leaves resolved via index lookups — postings + containment
+    composed in one oracled plan."""
+    import hashlib as _h
+
+    from mimir_spark.ingest import ingest
+    from mimir_spark.query_parser import run_query
+    from mimir_spark.sources import token_index as TI
+
+    t = ingest(spark.read.parquet(_TRANSCRIPT_FIXTURE))
+    store = pathlib.Path(__file__).resolve().parent / ".cache" / (
+        "tindex_" + _h.md5(_TRANSCRIPT_FIXTURE.encode()).hexdigest()[:8])
+    TI.write_token_index(t, str(store))
+    res = TI.indexed_term_resolver(spark, str(store))
+    return run_query("taverpe IN {Document n_tool_turns >= 8}", t,
+                     term_index=res)
+
+
+_INDEXED_TERM_ORACLE = f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, tool, ts, text,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r]+')) END AS n_tok
+  FROM read_parquet('{{fixture}}')
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY ts ASC NULLS LAST, role ASC NULLS LAST, tool ASC NULLS LAST,
+               n_tok ASC, md5(text) ASC NULLS LAST) AS _rn
+    FROM base) WHERE _rn = 1
+),
+tok AS (
+  SELECT DISTINCT conv_id, turn_idx AS pos
+  FROM dedup, unnest(string_split_regex(trim(lower(text)),
+                                        '[ \\t\\n\\r]+')) AS t(tk)
+  WHERE t.tk = 'taverpe'
+),
+doc AS (
+  SELECT conv_id FROM dedup GROUP BY conv_id
+  HAVING sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) >= 8
+)
+SELECT tok.conv_id, CAST(tok.pos AS INT) AS pos, CAST(1 AS INT) AS len
+FROM tok JOIN doc USING (conv_id)
+""".replace("{fixture}", _TRANSCRIPT_FIXTURE)
+
+
 def q_transcript_rollup_1m(spark, sf_dir):
     """Flagship engine path on the committed deterministic transcript
     corpus: ingest (dedup) -> metric explode -> one-pass tiered rollup
@@ -1604,6 +1677,7 @@ _QUERIES = {
         "seq_click_purchase": q_seq_click_purchase,
         "parsed_seq_query": q_parsed_seq_query,
         "parsed_ann_in_doc_query": q_parsed_ann_in_doc_query,
+        "indexed_term_query": q_indexed_term_query,
         "repeats_query": q_repeats_query,
         "within_query": q_within_query,
         "contains_query": q_contains_query,
@@ -1617,6 +1691,7 @@ _QUERIES = {
         "customers_without_orders": q_customers_without_orders,
         # terms algebra
         "terms_topk_documents": q_terms_topk_documents,
+        "terms_topk_indexed": q_terms_topk_indexed,
         "documents_and_terms": q_documents_and_terms,
         "documents_or_terms": q_documents_or_terms,
         "annotation_terms": q_annotation_terms,
@@ -1715,6 +1790,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
         "terms_topk_documents": _TERMS_TOPK_ORACLE,
+        "terms_topk_indexed": _TERMS_TOPK_ORACLE,
         "documents_and_terms": _AND_TERMS_ORACLE,
         "documents_or_terms": _OR_TERMS_ORACLE,
         "or_terms_first": _OR_TERMS_FIRST_ORACLE,
@@ -1745,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
             "AND conv_id NOT IN ("
             + ", ".join(f"'{c}'" for c in _TOMBSTONED) + ")"),
         "parsed_ann_in_doc_query": _PARSED_ANN_IN_DOC_ORACLE,
+        "indexed_term_query": _INDEXED_TERM_ORACLE,
         "lsh_ann_topk": _lsh_ann_oracle(),
         "lsh_ann_topk_bucketed": _lsh_ann_oracle(),
         "multimodal_features": _multimodal_oracle(),

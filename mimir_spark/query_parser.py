@@ -348,15 +348,21 @@ def _default_resolver(turns: DataFrame, ann: Ann) -> DataFrame:
 
 
 def execute(node, turns: DataFrame, text_col: str = "text",
-            resolver=None) -> DataFrame:
+            resolver=None, term_index=None) -> DataFrame:
     """Run a parsed query over a turns DataFrame -> hits
-    (conv_id, pos, len)."""
+    (conv_id, pos, len). ``term_index`` (a term -> hits callable, e.g.
+    sources.token_index.indexed_term_resolver) swaps text-term leaves
+    from corpus scans to postings lookups; all compound operators
+    compose unchanged."""
     resolver = resolver or _default_resolver
-    ex = lambda n: execute(n, turns, text_col, resolver)  # noqa: E731
+    ex = lambda n: execute(n, turns, text_col, resolver,  # noqa: E731
+                           term_index)
 
     if isinstance(node, Term):
         if node.index is not None:
             return H.term_query(turns, node.index, node.value)
+        if term_index is not None:
+            return term_index(node.value)
         toks = F.split(F.trim(F.lower(F.col(text_col))), _WS_RE)
         return turns.filter(
             F.array_contains(toks, node.value.lower())
@@ -384,10 +390,10 @@ def execute(node, turns: DataFrame, text_col: str = "text",
 
 
 def run_query(query: str, turns: DataFrame, text_col: str = "text",
-              resolver=None) -> DataFrame:
+              resolver=None, term_index=None) -> DataFrame:
     """parse + execute in one call (QueryEngine.getQueryRunner(String)
     analogue, search/QueryEngine.java:434-441)."""
-    return execute(parse(query), turns, text_col, resolver)
+    return execute(parse(query), turns, text_col, resolver, term_index)
 
 
 # ---------------------------------------------------------------------------

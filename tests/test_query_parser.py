@@ -208,3 +208,93 @@ def test_gap_and_repeat_validation():
                 "a+3..2"]:
         with pytest.raises(QP.QueryParseError):
             parse(bad)
+
+
+# ---------------------------------------------------------------------------
+# materialized inverted token index (postings-lookup analogue)
+# ---------------------------------------------------------------------------
+
+def test_token_index_equals_scan_and_prunes(spark, t_small_df,
+                                            tmp_path_factory):
+    """A term lookup through the bucket-partitioned index returns
+    EXACTLY the scan-based hit set, and the plan shows partition
+    pruning on tb plus the term equality pushed into the pruned scan —
+    the skipTo/postings behavior of the reference's TermQuery."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.ingest import ingest
+    from mimir_spark.query_parser import run_query
+    from mimir_spark.sources import token_index as TI
+
+    # index the INGESTED canonical table (dedup'd): raw duplicate rows
+    # would make the scan path emit duplicate hits the distinct index
+    # cannot represent — ingest is where that ambiguity dies
+    t_small_df = ingest(t_small_df).cache()
+
+    path = str(tmp_path_factory.mktemp("tindex") / "tokens")
+    TI.write_token_index(t_small_df, path)
+    resolver = TI.indexed_term_resolver(spark, path)
+
+    # pick real corpus terms with different frequencies
+    terms = [r["term"] for r in (
+        TI.token_postings(t_small_df).groupBy("term").count()
+        .orderBy(F.desc("count"), "term").limit(3).collect())]
+    terms.append("outlier")           # committed conv-0 edge row
+    terms.append("zzz-not-a-term")    # absent term -> empty
+    for term in terms:
+        scan = run_query(term, t_small_df).toPandas()
+        idx = run_query(term, t_small_df, term_index=resolver).toPandas()
+        key = ["conv_id", "pos"]
+        assert sorted(map(tuple, scan[key].values.tolist())) == \
+            sorted(map(tuple, idx[key].values.tolist())), term
+
+    # phrase + compound operators compose over indexed leaves
+    q = f'"{terms[0]} {terms[1]}" OR {terms[3]}'
+    scan = run_query(q, t_small_df).toPandas()
+    idx = run_query(q, t_small_df, term_index=resolver).toPandas()
+    assert sorted(map(tuple, scan.values.tolist())) == \
+        sorted(map(tuple, idx.values.tolist()))
+
+    # plan evidence: pruned partitions + pushed term predicate
+    plan = TI.term_query_indexed(spark, path, terms[0]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "tb" in pf[1].split("]", 1)[0], plan
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "term" in pushed, plan
+    # the store has more buckets than the single probed one
+    n_all = len({f.split("tb=")[1].split("/")[0]
+                 for f in spark.read.parquet(path).inputFiles()})
+    assert n_all > 1
+
+
+def test_term_doc_index_counts_equal_scan(spark, tmp_path_factory):
+    """The materialized direct index serves the terms algebra with
+    EXACT scan parity (count = sum of per-doc tf), and a per-term doc
+    lookup prunes to one bucket partition."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.operators import terms as TERMS
+    from mimir_spark.sources import token_index as TI
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet").select("doc_id", "text")
+    path = str(tmp_path_factory.mktemp("tdindex") / "termdoc")
+    TI.write_term_doc_index(docs, path)
+
+    scan = TERMS.term_type_terms(TERMS.tokenize(docs, id_col="doc_id")) \
+        .toPandas().sort_values("term").reset_index(drop=True)
+    idx = TI.term_counts_indexed(spark, path) \
+        .toPandas().sort_values("term").reset_index(drop=True)
+    assert scan["term"].tolist() == idx["term"].tolist()
+    assert scan["count"].tolist() == idx["count"].tolist()
+
+    term = scan.sort_values("count", ascending=False)["term"].iloc[0]
+    hits = TI.term_docs_indexed(spark, path, term)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "tb" in pf[1].split("]", 1)[0], plan
+    # tf recovered through the lookup matches the scan count
+    assert int(hits.agg(F.sum("tf")).first()[0]) == \
+        int(scan.set_index("term").loc[term, "count"])
