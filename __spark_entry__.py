@@ -49,6 +49,21 @@ def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _cached_store(kind: str, source_file: str) -> "pathlib.Path":
+    """Content-addressed .cache path for a materialized store (ANN
+    buckets, token/term-doc indexes): keyed on the source file's path
+    + mtime + size, so the store is built ONCE per corpus and reused
+    across gate/bench invocations, while regenerated testdata gets a
+    fresh key instead of poisoning results. Callers skip the build
+    when the parquet _SUCCESS marker exists."""
+    import hashlib as _h
+
+    st = os.stat(source_file)
+    key = _h.md5(f"{source_file}:{st.st_mtime_ns}:{st.st_size}"
+                 .encode()).hexdigest()[:12]
+    return pathlib.Path(__file__).resolve().parent / ".cache" / f"{kind}_{key}"
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -633,13 +648,11 @@ def q_terms_topk_indexed(spark, sf_dir):
     AtomicIndex.java:1089-1271): count = sum(tf) over the
     vocabulary-sized transpose instead of tokenizing the corpus. Same
     oracle as the scan-based entry — the two paths must agree exactly."""
-    import hashlib as _h
-
     from mimir_spark.sources import token_index as TI
 
-    store = pathlib.Path(__file__).resolve().parent / ".cache" / (
-        "termdoc_" + _h.md5(sf_dir.encode()).hexdigest()[:8])
-    TI.write_term_doc_index(_docs(spark, sf_dir), str(store))
+    store = _cached_store("termdoc", f"{sf_dir}/documents.parquet")
+    if not (store / "_SUCCESS").exists():
+        TI.write_term_doc_index(_docs(spark, sf_dir), str(store))
     counts = TI.term_counts_indexed(spark, str(store))
     return TERMS.limit_terms(TERMS.sorted_terms(counts), 20)
 
@@ -1170,15 +1183,13 @@ def q_lsh_ann_topk_bucketed(spark, sf_dir):
     tests/test_pipeline_ops.py::test_lsh_bucketed_store_prunes_partitions).
     Same seeded planes and probe radius as the in-memory variant, so
     the result set is identical and _lsh_ann_oracle replays it."""
-    import hashlib as _h
-
-    store = pathlib.Path(__file__).resolve().parent / ".cache" / (
-        "emb_bucketed_" + _h.md5(sf_dir.encode()).hexdigest()[:8])
+    store = _cached_store("emb_bucketed", f"{sf_dir}/embeddings.parquet")
     emb = _emb(spark, sf_dir)
     qvec = [float(x)
             for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    similarity.write_embeddings_bucketed(emb, str(store), n_planes=8,
-                                         dim=len(qvec))
+    if not (store / "_SUCCESS").exists():
+        similarity.write_embeddings_bucketed(emb, str(store), n_planes=8,
+                                             dim=len(qvec))
     return similarity.lsh_topk_bucketed(spark, str(store), qvec, 10,
                                         n_planes=8, probe_hamming=3)
 
@@ -1249,13 +1260,11 @@ def q_ivf_ann_topk(spark, sf_dir):
     cells as an IN-list on the partition column (pruned scan), exact
     cosine rerank. The oracle reruns the identical pure-numpy
     training and replays assignment + probe + rerank in SQL."""
-    import hashlib as _h
-
     sample, qvec = _ivf_sample_and_query(f"{sf_dir}/embeddings.parquet")
     cent = similarity.ivf_train(sample, _IVF_CENTROIDS)
-    store = pathlib.Path(__file__).resolve().parent / ".cache" / (
-        "emb_ivf_" + _h.md5(sf_dir.encode()).hexdigest()[:8])
-    similarity.write_embeddings_ivf(_emb(spark, sf_dir), str(store), cent)
+    store = _cached_store("emb_ivf", f"{sf_dir}/embeddings.parquet")
+    if not (store / "_SUCCESS").exists():
+        similarity.write_embeddings_ivf(_emb(spark, sf_dir), str(store), cent)
     return similarity.ivf_topk_bucketed(spark, str(store), qvec, 10, cent,
                                         nprobe=_IVF_NPROBE)
 
@@ -1308,16 +1317,14 @@ def q_indexed_term_query(spark, sf_dir):
     'taverpe IN {Document n_tool_turns >= 8}' runs with the parser's
     term leaves resolved via index lookups — postings + containment
     composed in one oracled plan."""
-    import hashlib as _h
-
     from mimir_spark.ingest import ingest
     from mimir_spark.query_parser import run_query
     from mimir_spark.sources import token_index as TI
 
     t = ingest(spark.read.parquet(_TRANSCRIPT_FIXTURE))
-    store = pathlib.Path(__file__).resolve().parent / ".cache" / (
-        "tindex_" + _h.md5(_TRANSCRIPT_FIXTURE.encode()).hexdigest()[:8])
-    TI.write_token_index(t, str(store))
+    store = _cached_store("tindex", _TRANSCRIPT_FIXTURE)
+    if not (store / "_SUCCESS").exists():
+        TI.write_token_index(t, str(store))
     res = TI.indexed_term_resolver(spark, str(store))
     return run_query("taverpe IN {Document n_tool_turns >= 8}", t,
                      term_index=res)
@@ -1830,9 +1837,12 @@ def oracle_sql() -> dict[str, str]:
     # the IVF oracle trains on the pinned sf0.01 table (the scale the
     # driver's correctness gate runs at); on a host without that file
     # the entry degrades to the driver's rows-only check instead of
-    # breaking the whole oracle map
+    # breaking the whole oracle map. ONLY missing-file errors are
+    # tolerated — a real bug in the oracle builder must fail loudly.
+    import duckdb as _duck
+
     try:
         oracles["ivf_ann_topk"] = _ivf_ann_oracle()
-    except Exception:  # noqa: BLE001 — missing testdata, permission, ...
+    except (OSError, _duck.Error):
         pass
     return oracles

@@ -81,6 +81,16 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     if max_df is None:
         return sh
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # self-bounding: keep at most 2 shingle caches alive (the newest
+    # plus one predecessor that may still back an un-materialized
+    # query) — older ones are unpersisted here, so library callers
+    # that never call release_shingle_caches() cannot accumulate
+    # pinned executor storage without bound
+    while len(_SHINGLE_CACHES) >= 2:
+        try:
+            _SHINGLE_CACHES.pop(0).unpersist()
+        except Exception:  # session already stopped
+            pass
     _SHINGLE_CACHES.append(sh)
     hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
            .filter(F.col("_df") > max_df).select("shingle"))

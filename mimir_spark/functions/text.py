@@ -156,12 +156,16 @@ def rolling_hashes(text_col: str = "text", window: int = 8) -> Column:
 
 
 def hex_doc_id(id_col) -> Column:
-    """Doc id as a 16-hex-digit term, zero-padded so LEXICOGRAPHIC
-    order equals NUMERIC order — the direct index's doc-id term scheme
-    (reference: index/AtomicIndex.java:586-589). The inverse is
-    ``doc_id_from_hex``."""
-    return F.format_string("%016x", F.col(id_col) if isinstance(id_col, str)
-                           else id_col)
+    """NON-NEGATIVE doc id as a 16-hex-digit term, zero-padded so
+    LEXICOGRAPHIC order equals NUMERIC order — the direct index's
+    doc-id term scheme (reference: index/AtomicIndex.java:586-589).
+    The inverse is ``doc_id_from_hex``. Negative ids raise at runtime:
+    %016x would two's-complement them, breaking both the ordering
+    invariant and the round trip (conv+cast overflows to NULL)."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.when(col >= 0, F.format_string("%016x", col)).otherwise(
+        F.raise_error(F.format_string(
+            "hex_doc_id requires a non-negative id, got %s", col)))
 
 
 def doc_id_from_hex(hex_col) -> Column:

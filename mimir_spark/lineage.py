@@ -257,10 +257,16 @@ class TieredStore:
             p = row["partition_id"]
             for tier in tiers:
                 src_dir = staging / f"tier={tier}" / f"p={p}"
+                dst = self.tier_dir(tier) / f"p={p}"
+                # a pending shard is EXACTLY this job's output — the
+                # job re-derives from the source, so data from a
+                # crashed attempt or an earlier job must not outlive
+                # the commit even when this run produced no rows for
+                # the shard (the Iceberg backend's conditional
+                # overwrite has the same semantics)
+                if dst.exists():
+                    shutil.rmtree(dst)
                 if src_dir.exists():
-                    dst = self.tier_dir(tier) / f"p={p}"
-                    if dst.exists():
-                        shutil.rmtree(dst)
                     dst.parent.mkdir(parents=True, exist_ok=True)
                     src_dir.rename(dst)
             self.commit_lineage(row)

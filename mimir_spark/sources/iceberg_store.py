@@ -118,16 +118,21 @@ class IcebergTieredStore:
             .withColumn("kind", parts.getItem(1))
             .withColumn("bucket_date", F.to_date("bucket_ts"))
         )
-        # conditional overwrite: ONE snapshot replaces the whole target
-        # tier with the cascade output (overwritePartitions would keep
-        # stale (p, bucket_date) partitions absent from `out` — the
-        # parquet backend replaces whole shard dirs, so match that)
-        out.writeTo(self.table).overwrite(F.col("tier") == to_tier)
+        # shard-scoped conditional overwrite: replace the target tier
+        # ONLY for shards the cascade produced (whole-tier overwrite
+        # would wipe coarse history for shards absent from the source
+        # — e.g. after the fine tier expired; shard-absent history must
+        # survive, matching the parquet backend's per-dir replace)
+        shards = [int(r["p"]) for r in out.select("p").distinct().collect()]
+        if not shards:
+            return 0
+        out.writeTo(self.table).overwrite(
+            (F.col("tier") == to_tier) & F.col("p").isin(shards))
         # bin-pack small files produced by the overwrite
         self.spark.sql(
             f"CALL {self._catalog()}.system.rewrite_data_files"
             f"(table => '{self.table}', where => 'tier = ''{to_tier}''')")
-        return out.select("p").distinct().count()
+        return len(shards)
 
     def _catalog(self) -> str:
         """Catalog component for system-procedure CALLs: a 3-part
@@ -187,12 +192,14 @@ class IcebergTieredStore:
                           job_id: str, finest: str) -> list[dict]:
         """One conditional-overwrite snapshot replaces every pending
         SHARD wholesale — ``overwrite(p IN pending)`` deletes the
-        shards' previous rows (including (tier, bucket_date)
-        partitions absent from this run's output, exactly like the
-        parquet backend's whole-directory replace) and inserts the new
-        output in the same commit. Per-shard stats then aggregate from
-        the freshly committed rows (partition-pruned on p), and
-        lineage rows are MERGEd — data first, lineage second."""
+        shards' previous rows (crashed-attempt or earlier-job data —
+        the job re-derives from the source, so a pending shard's
+        content is exactly this run's output, even when that output is
+        empty; the parquet backend clears the same directories) and
+        inserts the new output in the same commit. Per-shard stats
+        then aggregate from the freshly committed rows
+        (partition-pruned on p), and lineage rows are MERGEd — data
+        first, lineage second."""
         shard_ids = [int(p) for p in pending]
         out.writeTo(self.table).overwrite(F.col("p").isin(shard_ids))
         is_turnrate = ((F.col("tier") == finest) & (F.col("kind") == "conv")

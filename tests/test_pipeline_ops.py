@@ -111,6 +111,11 @@ def test_hex_doc_id_roundtrip_and_order(spark):
     by_num = out.sort_values("doc_id")["term"].tolist()
     by_lex = sorted(out["term"])
     assert by_num == by_lex
+    # negative ids fail loudly (two's-complement hex would break the
+    # ordering invariant and the round trip would NULL-overflow)
+    neg = spark.createDataFrame([(-1,)], "doc_id long")
+    with pytest.raises(Exception, match="non-negative"):
+        neg.select(TX.hex_doc_id("doc_id")).collect()
 
 
 def test_rolling_hashes_shape(docs):
