@@ -389,10 +389,32 @@ def cosine_dup_pairs_lsh(embeddings: DataFrame, tau: float,
     )
 
 
+#: Upper bound on the input rows `cosine_dup_pairs` will accept.
+#: The brute-force shape is an O(n^2) non-equi join
+#: (BroadcastNestedLoopJoin) — correct, and the exact-recall oracle
+#: for the LSH path — but catastrophic on large tables, so the public
+#: API refuses big inputs instead of silently planning a 10^18-pair
+#: cross join. Raise it explicitly (or pass max_rows=None) only in
+#: tests/oracles.
+COSINE_BRUTE_FORCE_MAX_ROWS = 100_000
+
+
 def cosine_dup_pairs(embeddings: DataFrame, tau: float,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     max_rows: int | None = COSINE_BRUTE_FORCE_MAX_ROWS) -> DataFrame:
     """Pairs with cosine similarity >= tau. Brute-force block join —
-    the exact baseline; the scale path is cosine_dup_pairs_lsh."""
+    the exact baseline / test oracle; the scale path (and the public
+    entry point for real corpora) is cosine_dup_pairs_lsh. Guarded by
+    ``max_rows``: the count is one cheap columnar scan and prevents
+    the O(n^2) plan from ever reaching a large table by accident."""
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_dup_pairs is the O(n^2) exact baseline and the "
+                f"input has {n} rows (> max_rows={max_rows}); use "
+                f"cosine_dup_pairs_lsh for large tables, or pass "
+                f"max_rows=None/higher if you really mean it")
     normed = embeddings.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),

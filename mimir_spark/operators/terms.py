@@ -167,6 +167,59 @@ def or_terms(term_sets: list[DataFrame], strategy: str = "SUM") -> DataFrame:
     return tagged.groupBy("term").agg(agg.alias("count"))
 
 
+def const_terms(spark, terms_counts) -> DataFrame:
+    """ConstTermsQuery (ConstTermsQuery.java:27,53): a literal,
+    pre-computed terms result set, used to splice externally computed
+    term sets as operands into compound terms queries. A broadcast-size
+    literal DataFrame — Catalyst folds it into a LocalRelation, so
+    joining it against a real terms set never shuffles the big side.
+
+    ``terms_counts``: iterable of (term, count) pairs.
+    """
+    rows = [(str(t), int(c)) for t, c in terms_counts]
+    return spark.createDataFrame(rows, "term string, count bigint")
+
+
+def and_terms(term_sets: list[DataFrame],
+              strategy: str = "FIRST") -> DataFrame:
+    """AndTermsQuery (AndTermsQuery.java:55-110): Boolean intersection
+    of terms result sets — a term survives only if it appears in EVERY
+    input. Counts are combined with the compound-counts strategy
+    (AbstractCompoundTermsQuery.computeCompoundCount:135-160), whose
+    reference default for AND is FIRST; non-positive counts are skipped
+    by the combiner exactly as the reference's ``if(aCount > 0)`` guard.
+
+    The reference sorts sub-queries smallest-first before its k-way
+    string merge; here that ordering concern disappears — the tagged
+    union + single hash aggregation lets AQE pick join/agg strategy,
+    and input order only matters semantically for FIRST (preserved via
+    the input-index tag).
+    """
+    if strategy not in OR_TERMS_STRATEGIES:
+        raise ValueError(f"unknown strategy {strategy!r}; "
+                         f"valid: {OR_TERMS_STRATEGIES}")
+    n = len(term_sets)
+    if n == 0:
+        raise ValueError("and_terms requires at least one input")
+    tagged = None
+    for i, ts in enumerate(term_sets):
+        t = ts.select("term", "count").withColumn("_src", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    pos = F.when(F.col("count") > 0, F.col("count"))
+    agg = {
+        "SUM": F.sum(pos),
+        "MAX": F.max(pos),
+        "MIN": F.min(pos),
+        "FIRST": F.min_by(pos, F.when(F.col("count") > 0, F.col("_src"))),
+    }[strategy]
+    return (
+        tagged.groupBy("term")
+        .agg(F.count_distinct("_src").alias("_n_src"), agg.alias("count"))
+        .filter(F.col("_n_src") == n)
+        .select("term", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+    )
+
+
 def group_by_description(terms: DataFrame) -> DataFrame:
     """Merge terms sharing a description: counts summed, original term
     strings kept as a sorted list (TermsResultSet.groupByDescription,

@@ -291,10 +291,16 @@ def replay_stream(spark, source_path: str, schema: str, transform,
         q.stop()
         if scratch is not None:
             shutil.rmtree(scratch, ignore_errors=True)
-    # NOTE: the seq-suffixed memory-sink view stays registered for the
-    # session (it backs the returned DataFrame); callers that replay
-    # many streams can dropTempView(old) once they've consumed it
-    return spark.table(name)
+    # Detach the result from the memory sink before returning: copy
+    # the (bounded, already-materialized) rows into a fresh local
+    # DataFrame and drop the sink's temp view, so the sink's buffer is
+    # released with this call instead of accumulating one
+    # fully-materialized result set per replay for the session's life.
+    out = spark.table(name)
+    rows = out.collect()
+    result = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return result
 
 
 def run_stream_to_memory(spark, source_dir: str, schema: str,

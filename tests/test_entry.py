@@ -80,3 +80,65 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF)
     assert df.count() >= 0
     assert len(df.schema) > 0
+
+
+# ---------------------------------------------------------------------------
+# de-gated twins: the driver's gate records at most 50 entries, so four
+# flavors with identical oracles to a still-gated twin were removed from
+# queries(); each keeps full verification here (same oracle, exact values)
+# ---------------------------------------------------------------------------
+
+DEGATED = {
+    "terms_topk_indexed":
+        (entry_mod.q_terms_topk_indexed, entry_mod._TERMS_TOPK_ORACLE),
+    "rollup_events_1h_salted":
+        (entry_mod.q_rollup_events_1h_salted,
+         entry_mod._ROLLUP_ORACLE.format(trunc="hour")),
+    "lsh_ann_topk":
+        (entry_mod.q_lsh_ann_topk, entry_mod._lsh_ann_oracle()),
+    "cosine_dup_pairs":
+        (entry_mod.q_cosine_dup_pairs, entry_mod._COSINE_DUP_ORACLE),
+}
+
+
+def test_degated_twins_not_registered():
+    assert not (set(DEGATED) & set(QUERIES))
+    assert len(QUERIES) == 50  # the driver's observed per-round row cap
+
+
+@pytest.mark.parametrize("name", sorted(DEGATED))
+def test_degated_twin_matches_oracle(spark, con, name):
+    fn, sql = DEGATED[name]
+    got = _canon(fn(spark, SF).toPandas())
+    want = _canon(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        if pd.api.types.is_float_dtype(got[c]):
+            a = got[c].to_numpy(dtype=np.float64)
+            b = want[c].to_numpy(dtype=np.float64)
+            both_nan = np.isnan(a) & np.isnan(b)
+            assert bool(np.all(both_nan | (a == b))), f"{name}.{c}"
+        else:
+            assert got[c].where(got[c].notna(), None).tolist() == \
+                want[c].where(want[c].notna(), None).tolist(), f"{name}.{c}"
+
+
+def test_cosine_brute_force_guard(spark):
+    """The O(n^2) baseline refuses inputs above its row bound."""
+    from mimir_spark import dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        dedup.cosine_dup_pairs(emb, tau=0.9, max_rows=10)
+
+
+def test_ivf_spark_and_duckdb_samples_agree(spark):
+    """The Spark-side training sample (object-store-safe path) and the
+    DuckDB driver-side sample (oracle builder) must produce identical
+    arrays — hence identical k-means centroids."""
+    path = f"{SF}/embeddings.parquet"
+    s_spark, q_spark = entry_mod._ivf_sample_and_query(path, spark=spark)
+    s_duck, q_duck = entry_mod._ivf_sample_and_query(path)
+    assert np.array_equal(s_spark, s_duck)
+    assert q_spark == q_duck

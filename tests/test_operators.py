@@ -342,3 +342,74 @@ def test_default_stopwords_match_reference():
     words = [w.replace("\\\\", "\\").replace('\\"', '"')
              for w in re.findall(r'"((?:[^"\\]|\\.)*)"', m.group(1))]
     assert set(words) == set(DEFAULT_STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# and_terms / const_terms (AndTermsQuery.java:55-110, ConstTermsQuery.java)
+# ---------------------------------------------------------------------------
+
+def _ts(rows):
+    return rows  # readability alias for (term, count) lists
+
+
+def test_const_terms_literal(spark):
+    from mimir_spark.operators.terms import const_terms
+
+    got = {(r["term"], r["count"])
+           for r in const_terms(spark, [("a", 3), ("b", 1)]).collect()}
+    assert got == {("a", 3), ("b", 1)}
+
+
+@pytest.mark.parametrize("strategy", ["FIRST", "MAX", "MIN", "SUM"])
+def test_and_terms_idempotent(spark, tokens, strategy):
+    """Metamorphic: and_terms(s, s) == s for every count strategy
+    except SUM (which doubles counts — checked separately)."""
+    from mimir_spark.operators.terms import and_terms, documents_or_terms
+
+    s = documents_or_terms(tokens, ["conv-00000005", "conv-00000006"])
+    base = {(r["term"], r["count"]) for r in s.collect()}
+    got = {(r["term"], r["count"])
+           for r in and_terms([s, s], strategy).collect()}
+    if strategy == "SUM":
+        assert got == {(t, 2 * c) for t, c in base}
+    else:
+        assert got == base
+
+
+def test_and_terms_intersection_and_strategies(spark):
+    from mimir_spark.operators.terms import and_terms, const_terms
+
+    s0 = const_terms(spark, [("x", 5), ("y", 2), ("only0", 1)])
+    s1 = const_terms(spark, [("x", 3), ("y", 7), ("only1", 9)])
+    runs = {st: {(r["term"], r["count"])
+                 for r in and_terms([s0, s1], st).collect()}
+            for st in ["FIRST", "MAX", "MIN", "SUM"]}
+    assert runs["FIRST"] == {("x", 5), ("y", 2)}
+    assert runs["MAX"] == {("x", 5), ("y", 7)}
+    assert runs["MIN"] == {("x", 3), ("y", 2)}
+    assert runs["SUM"] == {("x", 8), ("y", 9)}
+
+
+def test_and_terms_skips_nonpositive_counts(spark):
+    """The reference's combiner ignores counts <= 0 (computeCompoundCount's
+    aCount > 0 guard) while membership is by presence."""
+    from mimir_spark.operators.terms import and_terms, const_terms
+
+    s0 = const_terms(spark, [("x", 0), ("z", 0)])
+    s1 = const_terms(spark, [("x", 4), ("z", 0)])
+    got = {(r["term"], r["count"])
+           for r in and_terms([s0, s1], "FIRST").collect()}
+    # x: first POSITIVE count wins (4, from s1); z: no positive -> 0
+    assert got == {("x", 4), ("z", 0)}
+
+
+def test_and_terms_empty_and_errors(spark):
+    from mimir_spark.operators.terms import and_terms, const_terms
+
+    s0 = const_terms(spark, [("a", 1)])
+    s1 = const_terms(spark, [("b", 1)])
+    assert and_terms([s0, s1]).count() == 0  # disjoint -> empty
+    with pytest.raises(ValueError):
+        and_terms([])
+    with pytest.raises(ValueError):
+        and_terms([s0], "BOGUS")
