@@ -27,8 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .ingest import ingest, turn_metrics
-from .rollup import TIER_US, rollup_points
+from .rollup import TIER_US
 
 LINEAGE_SCHEMA = (
     "job_id string, partition_id int, rows_in long, points_out long, "
@@ -324,11 +323,13 @@ def run_rollup_job(
     """Roll up all pending shards (pmod(xxhash64(conv_id), P)) in ONE
     source scan, then commit tier output + a lineage row per shard.
 
-    Scale note: the previous design looped shards and re-filtered the
-    full source per shard — P full input scans (at 100 TB with P=256,
-    256 exabyte-reads for one pass of data). Here the shard id rides
-    along as a prefix of the series ``kind`` through one rollup_points
-    pass, the staged output is written once partitioned by
+    Scale note: the previous designs either looped shards (P full
+    input scans) or built one logical plan whose conv/tool union made
+    AQE scan the source twice. Here the narrow deduped turns are
+    staged ONCE (the only source scan), both union branches read the
+    staged table, the shard id rides along as a prefix of the series
+    ``kind`` through one rollup_turns pass, the staged output is
+    written once partitioned by
     (tier, p, bucket_date), per-shard stats are aggregated from the
     staged files (output is ~100x smaller than input), and each shard's
     directories are atomically moved into place before its lineage
@@ -348,12 +349,27 @@ def run_rollup_job(
     tiers = tuple(tiers)
     shard = F.pmod(F.xxhash64("conv_id"), F.lit(num_partitions))
     src = source().filter(shard.isin([int(p) for p in pending]))
-    points = turn_metrics(ingest(src))
-    # shard tag folded into the series kind: the SAME rollup pass
-    # produces per-(shard, series, bucket) groups with no extra shuffle
-    tagged = points.withColumn(
-        "kind", F.concat(shard.cast("string"), F.lit("|"), F.col("kind")))
-    rolled = rollup_points(tagged, tiers=tiers)
+    # ONE source scan per invocation, including the conv/tool union:
+    # the narrow deduped turns (text already reduced to n_tok at the
+    # scan — ~100x smaller) are staged to the job's staging area once,
+    # and BOTH rollup branches read the staged table back. Without
+    # staging, AQE declines to reuse the union's shared Exchange and
+    # the (100 TB) source is scanned twice (PLANS.md audit). Restart
+    # safety: mode("overwrite") makes a crash mid-stage idempotent,
+    # and the stage dir is removed after the shard commits.
+    import shutil as _sh
+
+    from .ingest import dedup_turns, narrow_turns
+    from .rollup import rollup_turns
+
+    stage_dir = store.root / "_staging" / f"job={job_id}-turns"
+    turns = dedup_turns(narrow_turns(src).repartition(F.col("conv_id")))
+    turns.write.mode("overwrite").parquet(str(stage_dir))
+    staged = spark.read.parquet(str(stage_dir))
+    # shard tag folded into the series kind ("<p>|conv" / "<p>|tool"):
+    # one rollup pass produces per-(shard, series, bucket) groups
+    rolled = rollup_turns(staged, tiers=tiers,
+                          shard_partitions=num_partitions)
     parts = F.split(F.col("kind"), "\\|", 2)
     out = (
         rolled.withColumn("p", parts.getItem(0).cast("int"))
@@ -361,4 +377,10 @@ def run_rollup_job(
         .withColumn("bucket_date", F.to_date("bucket_ts"))
     )
     finest = min(tiers, key=lambda t: TIER_US[t])
-    return store.commit_job_output(spark, out, pending, tiers, job_id, finest)
+    rows = store.commit_job_output(spark, out, pending, tiers, job_id, finest)
+    _sh.rmtree(stage_dir, ignore_errors=True)
+    try:  # drop the _staging parent when no other job is mid-flight
+        stage_dir.parent.rmdir()
+    except OSError:
+        pass
+    return rows

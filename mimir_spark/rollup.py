@@ -178,9 +178,11 @@ METRICS = ["turn_rate", "token_volume",
 _METRIC_ARR = np.array(METRICS)
 
 
-def _conv_points_fast(turns: DataFrame) -> DataFrame:
+def _conv_points_fast(turns: DataFrame, shard_expr=None) -> DataFrame:
     """conv-kind metric explode with int8 metric codes
-    (series_key == conv_id; kind implied)."""
+    (series_key == conv_id; kind implied). ``shard_expr``: optional
+    Column carrying the job shard id (a pure function of conv_id) —
+    rides along so the Arrow pass can emit per-shard kinds."""
     tok = F.col("n_tok").cast("double")
     # out-of-vocabulary roles map to the role_mix_other catch-all (same
     # as turn_metrics); null roles emit no role_mix point on either path
@@ -197,17 +199,19 @@ def _conv_points_fast(turns: DataFrame) -> DataFrame:
         entry(F.lit(1), tok),
         entry(role_metric, F.lit(1.0)),
     )
+    extra = [shard_expr.alias("shard")] if shard_expr is not None else []
     return (
         turns.select(F.col("conv_id").alias("series_key"), "ts", "turn_idx",
-                     F.explode(entries).alias("e"))
+                     *extra, F.explode(entries).alias("e"))
         .filter(F.col("e.metric_id").isNotNull())
         .select("series_key", F.col("e.metric_id").alias("metric_id"),
-                "ts", "turn_idx", F.col("e.v").alias("v"))
+                "ts", "turn_idx", *(["shard"] if extra else []),
+                F.col("e.v").alias("v"))
     )
 
 
 def _rollup_block_fast(key, metric_id, ts_us, v, tiers, kind: str,
-                       max_points=None) -> pd.DataFrame:
+                       max_points=None, shard=None) -> pd.DataFrame:
     n = len(ts_us)
     series_change = np.zeros(n, dtype=bool)
     series_change[0] = True
@@ -223,9 +227,15 @@ def _rollup_block_fast(key, metric_id, ts_us, v, tiers, kind: str,
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
         chunks = _encode_group_chunks(ts_us, v, starts, max_points)
+        # shard-tagged kind ("<p>|conv") when a shard array rides along
+        # (the resumable job's per-shard commit groups); shard is a
+        # function of conv_id == key, so it can't split a series group
+        kind_col = (kind if shard is None else
+                    np.char.add(np.char.add(
+                        shard[starts].astype("U20"), "|"), kind))
         frames.append(pd.DataFrame({
             "tier": tier,
-            "kind": kind,
+            "kind": kind_col,
             "series_key": key[starts],
             "metric": _METRIC_ARR[metric_id[starts]],
             "bucket_ts": bucket[starts].astype("datetime64[us]"),
@@ -239,8 +249,12 @@ def _rollup_block_fast(key, metric_id, ts_us, v, tiers, kind: str,
     return pd.concat(frames, ignore_index=True)
 
 
-def _make_rollup_fast_fn(tiers, kind: str, max_points=None):
+def _make_rollup_fast_fn(tiers, kind: str, max_points=None,
+                         with_shard: bool = False):
     coarsest = TIER_US[tiers[-1]]
+
+    def _shard(b):
+        return b["shard"].to_numpy() if with_shard else None
 
     def process(iterator):
         buf = None
@@ -261,14 +275,17 @@ def _make_rollup_fast_fn(tiers, kind: str, max_points=None):
             if len(cuts):
                 cut = int(cuts[-1])
                 v = buf["v"].to_numpy(dtype=np.float64)
+                sh = _shard(buf)
                 yield _rollup_block_fast(key[:cut], mid[:cut], ts_us[:cut],
-                                         v[:cut], tiers, kind, max_points)
+                                         v[:cut], tiers, kind, max_points,
+                                         shard=None if sh is None else sh[:cut])
                 buf = buf.iloc[cut:].reset_index(drop=True)
         if buf is not None and len(buf):
             yield _rollup_block_fast(
                 buf["series_key"].to_numpy(), buf["metric_id"].to_numpy(),
                 buf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
-                buf["v"].to_numpy(dtype=np.float64), tiers, kind, max_points)
+                buf["v"].to_numpy(dtype=np.float64), tiers, kind, max_points,
+                shard=_shard(buf))
 
     return process
 
@@ -309,6 +326,55 @@ def rollup_transcripts(transcripts: DataFrame,
                      ROLLUP_SCHEMA)
     )
     tool_points = turn_metrics(turns).filter(F.col("kind") == "tool")
+    tool = rollup_points(tool_points, tiers=tiers, max_points=max_points)
+    return conv.unionByName(tool)
+
+
+def rollup_turns(turns: DataFrame,
+                 tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+                 shard_partitions: int | None = None,
+                 num_partitions: int | None = None,
+                 max_points: int | None = None) -> DataFrame:
+    """Two-branch rollup over an ALREADY-DEDUPED narrow turns table
+    (conv_id, turn_idx, role, tool, ts, n_tok) — the staged-input
+    variant of ``rollup_transcripts``.
+
+    The resumable job scans the (100 TB) source exactly once, stages
+    this narrow deduped frame (~100x smaller: no text), and feeds BOTH
+    the conv and tool branches from the staged table — so the union's
+    two subtrees re-read the small staging area instead of re-scanning
+    the source when AQE declines to reuse the shared Exchange
+    (PLANS.md 'flagship double-scan' finding).
+
+    ``shard_partitions``: when set, kind becomes
+    "<pmod(xxhash64(conv_id), P)>|conv" / "...|tool" — the per-shard
+    commit groups of run_rollup_job, computed identically on both
+    branches so a conversation's output always lands in its shard.
+    """
+    from .ingest import turn_metrics
+
+    _check_tiers(tiers)
+    tiers = tuple(sorted(tiers, key=lambda t: TIER_US[t]))
+    shard_expr = (F.pmod(F.xxhash64("conv_id"), F.lit(shard_partitions))
+                  if shard_partitions else None)
+    t = (turns.repartition(num_partitions, F.col("conv_id"))
+         if num_partitions else turns.repartition(F.col("conv_id")))
+    sel = ["series_key", "metric_id", "ts", "v"] + (
+        ["shard"] if shard_expr is not None else [])
+    conv = (
+        _conv_points_fast(t, shard_expr=shard_expr)
+        .sortWithinPartitions("series_key", "metric_id", "ts", "turn_idx")
+        .select(*sel)
+        .mapInPandas(
+            _make_rollup_fast_fn(tiers, kind="conv", max_points=max_points,
+                                 with_shard=shard_expr is not None),
+            ROLLUP_SCHEMA)
+    )
+    tool_points = turn_metrics(t).filter(F.col("kind") == "tool")
+    if shard_expr is not None:
+        tool_points = tool_points.withColumn(
+            "kind", F.concat(shard_expr.cast("string"), F.lit("|"),
+                             F.col("kind")))
     tool = rollup_points(tool_points, tiers=tiers, max_points=max_points)
     return conv.unionByName(tool)
 

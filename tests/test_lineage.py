@@ -10,7 +10,9 @@ import pytest
 from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
 from mimir_spark.lineage import TieredStore, run_rollup_job
 
-KEY = ["kind", "series_key", "metric", "bucket_ts"]
+# p included: tier groups are per-shard, so (series, bucket) alone
+# under-identifies rows and cross-shard ties would sort arbitrarily
+KEY = ["kind", "series_key", "metric", "bucket_ts", "p"]
 
 
 @pytest.fixture()

@@ -158,3 +158,55 @@ def test_max_points_subchunk_split(spark, t_small_df, spark_rollup):
             split_seen = True
             assert codec.chunk_n_points(bytes(c)) <= 4
     assert split_seen
+
+
+def test_rollup_turns_staged_equals_generic(spark, t_small_df, tmp_path):
+    """The staged job path (one source scan -> narrow deduped turns on
+    disk -> rollup_turns with shard-tagged kinds) must produce the
+    byte-identical result of the old formulation
+    rollup_points(turn_metrics(ingest(src)) with kind-prefix tag)."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.ingest import narrow_turns
+    from mimir_spark.rollup import rollup_turns
+
+    P = 3
+    shard = F.pmod(F.xxhash64("conv_id"), F.lit(P))
+    want = _norm(
+        rollup_points(
+            turn_metrics(ingest(t_small_df)).withColumn(
+                "kind", F.concat(shard.cast("string"), F.lit("|"),
+                                 F.col("kind")))
+        ).toPandas())
+
+    stage = str(tmp_path / "turns")
+    dedup_turns(narrow_turns(t_small_df).repartition(F.col("conv_id"))) \
+        .write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    got = _norm(rollup_turns(staged, shard_partitions=P).toPandas())
+
+    pd.testing.assert_frame_equal(got[KEY + AGGS], want[KEY + AGGS],
+                                  check_dtype=False)
+    assert all(bytes(x) == bytes(y) for x, y in zip(got["chunk"], want["chunk"]))
+
+
+def test_rollup_turns_plan_reads_only_staging(spark, t_small_df, tmp_path):
+    """Single-scan invariant of the staged job: BOTH union branches of
+    rollup_turns scan the staging location; the original source path
+    appears nowhere in the physical plan."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.ingest import narrow_turns
+    from mimir_spark.rollup import rollup_turns
+
+    src_path = str(tmp_path / "src_corpus")
+    t_small_df.write.mode("overwrite").parquet(src_path)
+    src = spark.read.parquet(src_path)
+    stage = str(tmp_path / "turns")
+    dedup_turns(narrow_turns(src).repartition(F.col("conv_id"))) \
+        .write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    plan = rollup_turns(staged, shard_partitions=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "src_corpus" not in plan
+    assert plan.count("turns") >= 2  # conv + tool branches read staging
