@@ -140,3 +140,39 @@ SCALES = {
     "t-mid": 5_000,
     "t-bench": 20_000,
 }
+
+
+def clustered_embeddings_pandas(n_vectors: int, dim: int = 64,
+                                n_clusters: int = 20, spread: float = 0.15,
+                                seed: int = 7) -> pd.DataFrame:
+    """Structured embedding fixture: a seeded mixture of Gaussians.
+
+    Cluster centers ~ N(0, I) on the unit sphere; each vector = its
+    center + ``spread``-scaled isotropic noise, renormalized. Unlike
+    the near-uniform driver testdata (PLANS.md 'degenerate IVF'
+    finding), this has real cluster structure — the distribution ANN
+    recall gates run against, mirroring topic/modality clustering in
+    production embedding tables."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_clusters, size=n_vectors)
+    x = centers[labels] + spread * rng.standard_normal((n_vectors, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return pd.DataFrame({
+        "vec_id": np.arange(n_vectors, dtype=np.int64),
+        "cluster": labels.astype(np.int32),
+        "embedding": list(x.astype(np.float64)),
+    })
+
+
+def clustered_embeddings_df(spark, n_vectors: int, dim: int = 64,
+                            n_clusters: int = 20, spread: float = 0.15,
+                            seed: int = 7):
+    pdf = clustered_embeddings_pandas(n_vectors, dim, n_clusters, spread, seed)
+    # plain-python floats: vanilla sessions (no Arrow) reject numpy
+    # scalars inside array<double> fields
+    pdf = pdf.assign(
+        embedding=pdf["embedding"].map(lambda a: [float(x) for x in a]))
+    return spark.createDataFrame(
+        pdf, "vec_id long, cluster int, embedding array<double>")

@@ -1,0 +1,110 @@
+"""ANN retrieval-quality gates on STRUCTURED embeddings (seeded
+mixture of Gaussians, fixtures.clustered_embeddings_df): IVF and LSH
+recall@10 vs the exact brute force must clear 0.9 at the documented
+probe settings. The driver's near-uniform synthetic table shows the
+documented degenerate IVF curve (PLANS.md); this fixture is the
+realistic-distribution counterpart."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mimir_spark import similarity
+from mimir_spark.fixtures import clustered_embeddings_df, clustered_embeddings_pandas
+
+N, DIM, K = 2000, 64, 10
+N_QUERIES = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = clustered_embeddings_df(spark, N, dim=DIM)
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def exact_topk():
+    """Ground truth computed in numpy (same cosine, same tie rule:
+    descending sim, ascending id)."""
+    pdf = clustered_embeddings_pandas(N, dim=DIM)
+    x = np.stack(pdf["embedding"].to_numpy())
+    norms = np.linalg.norm(x, axis=1)
+
+    def topk(qid: int, k: int = K) -> set[int]:
+        q = x[qid]
+        sims = np.round(x @ q / (norms * np.linalg.norm(q)), 6)
+        order = np.lexsort((np.arange(N), -sims))
+        return set(int(i) for i in order[:k])
+
+    return x, topk
+
+
+def _recall(got_ids: set[int], want_ids: set[int]) -> float:
+    return len(got_ids & want_ids) / len(want_ids)
+
+
+QUERY_IDS = [3, 211, 540, 777, 1024, 1300, 1650, 1999][:N_QUERIES]
+
+
+def test_brute_force_matches_numpy(spark, emb, exact_topk):
+    x, topk = exact_topk
+    qid = QUERY_IDS[0]
+    got = {r.vec_id for r in
+           similarity.brute_force_topk(emb, list(x[qid]), K).collect()}
+    assert got == topk(qid)
+
+
+def test_ivf_recall_on_clustered(spark, emb, exact_topk):
+    """IVF (16 cells, nprobe=4 — a 25% expected scan fraction) recalls
+    >= 0.9 on clustered data; cf. 0.49 on the near-uniform table."""
+    x, topk = exact_topk
+    sample = x[:256]
+    cent = similarity.ivf_train(sample, 16)
+    recs = []
+    for qid in QUERY_IDS:
+        got = {r.vec_id for r in
+               similarity.ivf_topk(emb, list(x[qid]), K, cent, nprobe=4)
+               .collect()}
+        recs.append(_recall(got, topk(qid)))
+    assert np.mean(recs) >= 0.9, recs
+
+
+def test_multi_lsh_recall_on_clustered(spark, emb, exact_topk):
+    """Multi-table LSH at the documented quality config (L=6 tables,
+    12 planes, hamming <= 3 — ~40% candidate fraction measured on this
+    fixture) recalls >= 0.9; a SINGLE table at a comparable scan
+    fraction measured 0.81 (see module docstring / PLANS.md)."""
+    x, topk = exact_topk
+    recs = []
+    for qid in QUERY_IDS:
+        got = {r.vec_id for r in
+               similarity.multi_lsh_topk(emb, list(x[qid]), K,
+                                         n_tables=6, n_planes=12,
+                                         probe_hamming=3).collect()}
+        recs.append(_recall(got, topk(qid)))
+    assert np.mean(recs) >= 0.9, recs
+
+
+def test_multi_lsh_bucketed_matches_in_memory(spark, emb, exact_topk, tmp_path):
+    """The (tbl, bucket)-partitioned store returns the same top-k as
+    the in-memory multi-table variant, and its plan prunes partitions
+    at the scan."""
+    x, _ = exact_topk
+    store = str(tmp_path / "mlsh")
+    similarity.write_embeddings_multi_lsh(emb, store, n_tables=6,
+                                          n_planes=12, dim=DIM)
+    qid = QUERY_IDS[1]
+    a = [tuple(r) for r in
+         similarity.multi_lsh_topk(emb, list(x[qid]), K, n_tables=6,
+                                   n_planes=12, probe_hamming=3).collect()]
+    bdf = similarity.multi_lsh_topk_bucketed(spark, store, list(x[qid]), K,
+                                             n_tables=6, n_planes=12,
+                                             probe_hamming=3)
+    b = [tuple(r) for r in bdf.collect()]
+    assert a == b
+    plan = bdf._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
