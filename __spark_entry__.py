@@ -544,29 +544,48 @@ def q_part_type_facet(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_measurement_filter(spark, sf_dir):
-    """Measurement-spec rewrite through the driver gate: parts viewed
-    as normalized length measurements (p_size cm), filtered by the
-    rewritten '5 to 20 cm' interval-overlap predicate."""
-    from mimir_spark.functions.measurement import spec_predicate
+    """Measurement-spec rewrite through the driver gate, MULTI-UNIT:
+    each part contributes a length measurement (p_size cm) and an area
+    measurement (p_size sq ft, normalized to m^2); the filter is the
+    disjunction of a '5 to 20 cm' length spec and a '1 to 2 square
+    feet' area spec — the dimension signatures keep the two branches
+    from cross-matching, and the compound/power grammar
+    (functions/measurement.parse_unit) is exercised end to end."""
+    from mimir_spark.functions.measurement import parse_unit, spec_predicate
 
+    _, sqft = parse_unit("sq ft")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    meas = part.select(
-        "p_partkey",
+    length = part.select(
+        "p_partkey", F.lit("len").alias("dim"),
         F.lit("m").alias("normalized_unit"),
         (F.col("p_size") * 0.01).alias("normalized_min"),
         (F.col("p_size") * 0.01).alias("normalized_max"),
     )
-    return meas.filter(spec_predicate("5 to 20 cm")).select("p_partkey")
+    area = part.select(
+        "p_partkey", F.lit("area").alias("dim"),
+        F.lit("m^2").alias("normalized_unit"),
+        (F.col("p_size") * F.lit(sqft)).alias("normalized_min"),
+        (F.col("p_size") * F.lit(sqft)).alias("normalized_max"),
+    )
+    meas = length.unionByName(area)
+    pred = spec_predicate("5 to 20 cm") | spec_predicate("1 to 2 square feet")
+    return meas.filter(pred).select("p_partkey", "dim")
 
 
 def _measurement_oracle() -> str:
-    from mimir_spark.functions.measurement import parse_spec
+    from mimir_spark.functions.measurement import parse_spec, parse_unit
 
     base, lo, hi = parse_spec("5 to 20 cm")
     assert base == "m"
+    abase, alo, ahi = parse_spec("1 to 2 square feet")
+    assert abase == "m^2"
+    (_, sqft) = parse_unit("sq ft")
     return f"""
-SELECT p_partkey FROM part
+SELECT p_partkey, 'len' AS dim FROM part
 WHERE p_size * 0.01 <= {hi!r} AND p_size * 0.01 >= {lo!r}
+UNION ALL
+SELECT p_partkey, 'area' AS dim FROM part
+WHERE p_size * {sqft!r} <= {ahi!r} AND p_size * {sqft!r} >= {alo!r}
 """
 
 

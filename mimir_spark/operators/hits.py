@@ -105,35 +105,123 @@ def const_restrict(hits: DataFrame, conv_ids: DataFrame) -> DataFrame:
 # compound operators (SURVEY.md §2.3)
 # ---------------------------------------------------------------------------
 
+# Sub-bindings (Binding.java:28-86 containedBindings): an optional
+# ``sub`` column of array<struct<child int, pos int, len int>> carries
+# each child query's matched span through compound operators, so a
+# consumer can recover WHICH child matched WHERE without re-running
+# the leaves. Default-off: the flat 12-byte hit row stays the wire
+# format of the algebra (distinct/joins/shuffles stay narrow); pass
+# keep_sub=True where the spans are wanted.
+
+_SUB_STRUCT = "array<struct<child:int,pos:int,len:int>>"
+
+
+def _ensure_sub(hits: DataFrame) -> DataFrame:
+    """Promote a hit frame to carry sub-bindings: a leaf becomes its
+    own single child (child index 0)."""
+    if "sub" in hits.columns:
+        return hits
+    return hits.withColumn("sub", F.array(F.struct(
+        F.lit(0).cast("int").alias("child"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("len").cast("int").alias("len"))))
+
+
 def sequence_query(left: DataFrame, right: DataFrame,
-                   min_gap: int = 0, max_gap: int = 0) -> DataFrame:
+                   min_gap: int = 0, max_gap: int = 0,
+                   keep_sub: bool = False) -> DataFrame:
     """Phrase/sequence: a right hit starting between min_gap and
     max_gap positions after the left hit ends (SequenceQuery.java +
     Gap semantics). Equi-join on conv_id + range predicate — the
     zig-zag doc alignment for free from the join, the position
-    constraint as a theta filter."""
+    constraint as a theta filter.
+
+    With ``keep_sub`` the result carries the children's spans: the
+    right side's child indices are shifted past the left's (a chain of
+    sequence_querys numbers the N leaves 0..N-1 left to right), and
+    distinct() then keys on the full binding — two different child
+    decompositions of the same window are two bindings, exactly the
+    reference executor's enumeration."""
+    if keep_sub:
+        left, right = _ensure_sub(left), _ensure_sub(right)
     l, r = left.alias("l"), right.alias("r")
     lo = F.col("l.pos") + F.col("l.len") + F.lit(min_gap)
     hi = F.col("l.pos") + F.col("l.len") + F.lit(max_gap)
+    cols = [
+        F.col("l.conv_id").alias("conv_id"),
+        F.col("l.pos").alias("pos"),
+        (F.col("r.pos") + F.col("r.len") - F.col("l.pos")).alias("len"),
+    ]
+    if keep_sub:
+        shift = F.size(F.col("l.sub"))
+        rsub = F.transform(
+            F.col("r.sub"),
+            lambda x: F.struct((x["child"] + shift).cast("int").alias("child"),
+                               x["pos"].alias("pos"), x["len"].alias("len")))
+        cols.append(F.concat(F.col("l.sub"), rsub).alias("sub"))
     return (
         l.join(r, on=(F.col("l.conv_id") == F.col("r.conv_id"))
                & (F.col("r.pos") >= lo) & (F.col("r.pos") <= hi))
-        .select(
-            F.col("l.conv_id").alias("conv_id"),
-            F.col("l.pos").alias("pos"),
-            (F.col("r.pos") + F.col("r.len") - F.col("l.pos")).alias("len"),
-        )
+        .select(*cols)
         .distinct()
     )
 
 
-def sequence(hit_dfs: list[DataFrame], gaps: list[tuple[int, int]] | None = None) -> DataFrame:
+def sequence(hit_dfs: list[DataFrame], gaps: list[tuple[int, int]] | None = None,
+             keep_sub: bool = False) -> DataFrame:
     """N-ary sequence with per-junction (min,max) gaps."""
     gaps = gaps or [(0, 0)] * (len(hit_dfs) - 1)
     acc = hit_dfs[0]
     for nxt, (lo, hi) in zip(hit_dfs[1:], gaps):
-        acc = sequence_query(acc, nxt, lo, hi)
+        acc = sequence_query(acc, nxt, lo, hi, keep_sub=keep_sub)
     return acc
+
+
+def explode_bindings(hits: DataFrame) -> DataFrame:
+    """Flatten a sub-binding-carrying hit frame to one row per
+    (hit, child span)."""
+    return hits.select(
+        "conv_id", "pos", "len", F.explode("sub").alias("b")
+    ).select(
+        "conv_id", "pos", "len",
+        F.col("b.child").alias("child"),
+        F.col("b.pos").alias("sub_pos"),
+        F.col("b.len").alias("sub_len"),
+    )
+
+
+def render_sub_bindings(turns: DataFrame, hits: DataFrame) -> DataFrame:
+    """Per-child snippet rendering: one row per (hit, child) with the
+    CHILD's covered turns joined in order — the highlight-which-child
+    counterpart of render_hits (QueryEngine.java:461-572 renders hits
+    with their contained bindings)."""
+    b = explode_bindings(hits).alias("h")
+    t = turns.alias("t")
+    cond = (
+        (F.col("h.conv_id") == F.col("t.conv_id"))
+        & (F.col("t.turn_idx") >= F.col("h.sub_pos"))
+        & (F.col("t.turn_idx") < F.col("h.sub_pos") + F.col("h.sub_len"))
+    )
+    return (
+        b.join(t, cond)
+        .groupBy(F.col("h.conv_id").alias("conv_id"),
+                 F.col("h.pos").alias("pos"), F.col("h.len").alias("len"),
+                 F.col("h.child").alias("child"),
+                 F.col("h.sub_pos").alias("sub_pos"),
+                 F.col("h.sub_len").alias("sub_len"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct(F.col("t.turn_idx"), F.col("t.role"),
+                                 F.col("t.text"))
+                    )),
+                    lambda s: F.concat_ws(": ", s["role"], s["text"]),
+                ),
+            ).alias("snippet")
+        )
+    )
 
 
 def or_query(*hit_dfs: DataFrame) -> DataFrame:
@@ -147,25 +235,30 @@ def or_query(*hit_dfs: DataFrame) -> DataFrame:
 def contains_query(outer: DataFrame, inner: DataFrame) -> DataFrame:
     """OVER: outer hits containing >=1 inner hit
     (AbstractOverlapQuery.java:132-183, target=OUTER) — an interval
-    semi-join."""
+    semi-join. The target's sub-bindings (when present) pass through,
+    matching the reference: the overlap executor returns the target
+    node's binding with its containedBindings intact."""
     o, i = outer.alias("o"), inner.alias("i")
     cond = (
         (F.col("o.conv_id") == F.col("i.conv_id"))
         & (F.col("i.pos") >= F.col("o.pos"))
         & (F.col("i.pos") + F.col("i.len") <= F.col("o.pos") + F.col("o.len"))
     )
-    return o.join(i, cond, "left_semi").select(*_HIT_COLS)
+    keep = _HIT_COLS + (["sub"] if "sub" in outer.columns else [])
+    return o.join(i, cond, "left_semi").select(*keep)
 
 
 def within_query(inner: DataFrame, outer: DataFrame) -> DataFrame:
-    """IN: inner hits contained in some outer hit (target=INNER)."""
+    """IN: inner hits contained in some outer hit (target=INNER).
+    The target's sub-bindings (when present) pass through."""
     i, o = inner.alias("i"), outer.alias("o")
     cond = (
         (F.col("i.conv_id") == F.col("o.conv_id"))
         & (F.col("i.pos") >= F.col("o.pos"))
         & (F.col("i.pos") + F.col("i.len") <= F.col("o.pos") + F.col("o.len"))
     )
-    return i.join(o, cond, "left_semi").select(*_HIT_COLS)
+    keep = _HIT_COLS + (["sub"] if "sub" in inner.columns else [])
+    return i.join(o, cond, "left_semi").select(*keep)
 
 
 def minus_query(left: DataFrame, right: DataFrame) -> DataFrame:

@@ -83,6 +83,56 @@ def test_parse_spec():
         parse_spec("three bananas")
 
 
+def test_parse_spec_extended_grammar():
+    """Round-4 breadth: area/volume words, powers, compounds, derived
+    units, dimension-aware rejection
+    (MeasurementAnnotationHelper.java:238-377's parser-backed reach)."""
+    # areas (all spell m^2)
+    for spec in ["2 square feet", "2 sq ft", "2 ft^2", "2 ft2"]:
+        unit, lo, hi = parse_spec(spec)
+        assert unit == "m^2" and abs(lo - 2 * 0.3048**2) < 1e-12, spec
+    assert parse_spec("1 hectare") == ("m^2", 10000.0, 10000.0)
+    assert parse_spec("1 acre")[0] == "m^2"
+    # volumes (m^3)
+    unit, lo, _ = parse_spec("2 cubic metres")
+    assert (unit, lo) == ("m^3", 2.0)
+    assert parse_spec("1 litre") == ("m^3", 0.001, 0.001)
+    u, lo, hi = parse_spec("1 to 2 gallons")
+    assert u == "m^3" and abs(lo - 0.003785411784) < 1e-15
+    # derived / compound
+    u, lo, _ = parse_spec("10 m/s")
+    assert (u, lo) == ("m s^-1", 10.0)
+    u, lo, _ = parse_spec("36 km/h")
+    assert u == "m s^-1" and abs(lo - 10.0) < 1e-9
+    u, lo, _ = parse_spec("10 mph")
+    assert u == "m s^-1" and abs(lo - 4.4704) < 1e-12
+    u, lo, _ = parse_spec("2 kg per m^3")
+    assert u == "kg m^-3" and lo == 2.0
+    # dimension-aware rejection and malformed forms
+    import pytest as _pt
+    for bad in ["2 sq bananas", "2 per m", "2 sq", "2 m^x"]:
+        with _pt.raises(ValueError):
+            parse_spec(bad)
+    # same-number different-dimension specs can never cross-match
+    assert parse_spec("2 m")[0] != parse_spec("2 sq m")[0]
+
+
+def test_normalization_map_expr(spark):
+    """Ingest-side normalizer: literal map expression, no UDF."""
+    from mimir_spark.functions.measurement import normalization_map
+
+    df = spark.createDataFrame(
+        [(5.0, "CM"), (2.0, "feet"), (1.0, "hectare"), (3.0, "min")],
+        "value double, unit string")
+    m = normalization_map()
+    out = df.select(
+        m[F.lower("unit")]["unit"].alias("normalized_unit"),
+        (F.col("value") * m[F.lower("unit")]["factor"]).alias("nv"),
+    ).collect()
+    got = {(r["normalized_unit"], round(r["nv"], 6)) for r in out}
+    assert got == {("m", 0.05), ("m", 0.6096), ("m^2", 10000.0), ("s", 180.0)}
+
+
 def test_spec_predicate_overlap(spark):
     rows = spark.createDataFrame(
         [("m", 0.1, 0.2), ("m", 0.25, 0.5), ("m", 1.0, 2.0), ("kg", 0.3, 0.3)],

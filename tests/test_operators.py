@@ -413,3 +413,81 @@ def test_and_terms_empty_and_errors(spark):
         and_terms([])
     with pytest.raises(ValueError):
         and_terms([s0], "BOGUS")
+
+
+# ---------------------------------------------------------------------------
+# sub-bindings (Binding.java:28-86 containedBindings)
+# ---------------------------------------------------------------------------
+
+def test_sequence_sub_bindings(spark, turns):
+    """keep_sub carries each child's (pos, len); children are numbered
+    left to right; the envelope equals the flat hit."""
+    from mimir_spark.operators.hits import sequence, term_query
+
+    a = term_query(turns, "role", "user")
+    b = term_query(turns, "role", "assistant")
+    flat = {(r["conv_id"], r["pos"], r["len"])
+            for r in sequence([a, b]).collect()}
+    rich = sequence([a, b], keep_sub=True).collect()
+    assert {(r["conv_id"], r["pos"], r["len"]) for r in rich} == flat
+    for r in rich:
+        subs = sorted(r["sub"], key=lambda s: s["child"])
+        assert [s["child"] for s in subs] == [0, 1]
+        # child 0 starts the hit; child 1 ends it; spans abut (gap 0)
+        assert subs[0]["pos"] == r["pos"]
+        assert subs[0]["pos"] + subs[0]["len"] == subs[1]["pos"]
+        assert subs[1]["pos"] + subs[1]["len"] == r["pos"] + r["len"]
+
+
+def test_sequence_sub_bindings_three_way_with_gap(spark, turns):
+    from mimir_spark.operators.hits import sequence, term_query
+
+    a = term_query(turns, "role", "user")
+    b = term_query(turns, "role", "assistant")
+    c = term_query(turns, "role", "tool")
+    rich = sequence([a, b, c], gaps=[(0, 1), (0, 2)], keep_sub=True)
+    rows = rich.limit(50).collect()
+    assert rows
+    for r in rows:
+        subs = sorted(r["sub"], key=lambda s: s["child"])
+        assert [s["child"] for s in subs] == [0, 1, 2]
+        g1 = subs[1]["pos"] - (subs[0]["pos"] + subs[0]["len"])
+        g2 = subs[2]["pos"] - (subs[1]["pos"] + subs[1]["len"])
+        assert 0 <= g1 <= 1 and 0 <= g2 <= 2
+
+
+def test_within_preserves_sub_bindings(spark, turns):
+    from mimir_spark.operators.hits import (document_query, sequence,
+                                            term_query, within_query)
+
+    a = term_query(turns, "role", "user")
+    b = term_query(turns, "role", "assistant")
+    from pyspark.sql import functions as F
+
+    seq = sequence([a, b], keep_sub=True)
+    outer = document_query(turns, F.col("n_turns") >= 2)
+    out = within_query(seq, outer)
+    assert "sub" in out.columns
+    r = out.first()
+    assert len(r["sub"]) == 2
+
+
+def test_render_sub_bindings_highlights_children(spark, turns):
+    """Each child's rendered snippet is exactly the text of the turns
+    that child covers — the highlight drill-down."""
+    from mimir_spark.operators.hits import (render_sub_bindings, sequence,
+                                            term_query)
+
+    a = term_query(turns, "role", "user")
+    b = term_query(turns, "role", "assistant")
+    rich = sequence([a, b], keep_sub=True)
+    rendered = render_sub_bindings(turns, rich).limit(30).collect()
+    assert rendered
+    tmap = {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+            for r in turns.collect()}
+    roles = {0: "user", 1: "assistant"}
+    for r in rendered:
+        assert r["sub_len"] == 1
+        role, text = tmap[(r["conv_id"], r["sub_pos"])]
+        assert role == roles[r["child"]]
+        assert r["snippet"] == f"{role}: {text}"
