@@ -175,6 +175,23 @@ class TieredStore:
         )
         return self._stage_promote(df, tier, f"upgrade-{tier}")
 
+    # -- job staging -------------------------------------------------------
+
+    def turns_staging_dir(self, job_id: str) -> str:
+        """Where run_rollup_job stages the narrow deduped turns (the
+        single-source-scan protocol). Backend-specific: here a path
+        under the store root; the Iceberg backend supplies a
+        warehouse-adjacent location."""
+        return str(self.root / "_staging" / f"job={job_id}-turns")
+
+    def cleanup_staging(self, path: str) -> None:
+        p = Path(path)
+        shutil.rmtree(p, ignore_errors=True)
+        try:  # drop the _staging parent when no other job is mid-flight
+            p.parent.rmdir()
+        except OSError:
+            pass
+
     # -- lineage -----------------------------------------------------------
 
     def lineage_dir(self, job_id: str) -> Path:
@@ -357,15 +374,13 @@ def run_rollup_job(
     # the (100 TB) source is scanned twice (PLANS.md audit). Restart
     # safety: mode("overwrite") makes a crash mid-stage idempotent,
     # and the stage dir is removed after the shard commits.
-    import shutil as _sh
-
     from .ingest import dedup_turns, narrow_turns
     from .rollup import rollup_turns
 
-    stage_dir = store.root / "_staging" / f"job={job_id}-turns"
+    stage_dir = store.turns_staging_dir(job_id)
     turns = dedup_turns(narrow_turns(src).repartition(F.col("conv_id")))
-    turns.write.mode("overwrite").parquet(str(stage_dir))
-    staged = spark.read.parquet(str(stage_dir))
+    turns.write.mode("overwrite").parquet(stage_dir)
+    staged = spark.read.parquet(stage_dir)
     # shard tag folded into the series kind ("<p>|conv" / "<p>|tool"):
     # one rollup pass produces per-(shard, series, bucket) groups
     rolled = rollup_turns(staged, tiers=tiers,
@@ -378,9 +393,5 @@ def run_rollup_job(
     )
     finest = min(tiers, key=lambda t: TIER_US[t])
     rows = store.commit_job_output(spark, out, pending, tiers, job_id, finest)
-    _sh.rmtree(stage_dir, ignore_errors=True)
-    try:  # drop the _staging parent when no other job is mid-flight
-        stage_dir.parent.rmdir()
-    except OSError:
-        pass
+    store.cleanup_staging(stage_dir)
     return rows

@@ -224,3 +224,23 @@ class IcebergTieredStore:
             self.commit_lineage(row)
             results.append(row)
         return results
+
+    # -- job staging -------------------------------------------------------
+
+    def turns_staging_dir(self, job_id: str) -> str:
+        """Staging location for run_rollup_job's narrow deduped turns
+        (the single-source-scan protocol): a plain-parquet scratch area
+        next to the warehouse, reachable by every executor. Override
+        with ``staging_root`` if the warehouse scheme is not writable
+        for scratch data."""
+        root = getattr(self, "staging_root", None) or \
+            self.spark.conf.get("spark.sql.warehouse.dir")
+        return f"{root.rstrip('/')}/_mimir_staging/job={job_id}-turns"
+
+    def cleanup_staging(self, path: str) -> None:
+        """Recursive delete through the Hadoop FileSystem API — works
+        for any scheme the cluster can read (s3a, hdfs, gs, file)."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
