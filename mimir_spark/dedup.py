@@ -433,3 +433,76 @@ def cosine_dup_pairs(embeddings: DataFrame, tau: float,
         .filter(F.col("cosine") >= tau)
         .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"), "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: pairs -> connected components -> keep set
+# ---------------------------------------------------------------------------
+
+def dup_components(pairs: DataFrame, a_col: str = "doc_a",
+                   b_col: str = "doc_b", max_iters: int = 50) -> DataFrame:
+    """Connected components over a duplicate-pair graph: (node,
+    component) where component = the minimum node id reachable from
+    ``node``. The step every dedup pipeline needs after pair
+    generation — transitive closure turns pairwise near-dups into
+    keep/drop decisions.
+
+    Algorithm: distributed min-label propagation with path compression
+    (the pointer-doubling trick of PRAM/MapReduce CC algorithms): each
+    round (a) every node takes the min label over its neighborhood and
+    (b) every node jumps to its label's label — (b) halves pointer
+    chains, so convergence is O(log n) rounds even on path graphs, and
+    2-3 rounds on dedup graphs (near-clique components). State is two
+    tables (edges, labels) sharded like any other DataFrame — no
+    driver-side graph; the per-round fixpoint test is one count of
+    changed labels."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"),
+                            F.col(a_col).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # pair generation can be a deep plan
+    )
+    labels = edges.select("u").distinct().withColumn("l", F.col("u"))
+    for _ in range(max_iters):
+        lv = labels.select(F.col("u").alias("v"), F.col("l").alias("_lv"))
+        nbr_min = edges.join(lv, "v").groupBy("u")             .agg(F.min("_lv").alias("_nm"))
+        stepped = (
+            labels.join(nbr_min, "u", "left")
+            .select("u", F.least(F.col("l"),
+                                 F.coalesce("_nm", F.col("l"))).alias("l"))
+        )
+        # path compression: l <- min(l, label(l)); label values are
+        # node ids, so the join always matches
+        l2 = labels.select(F.col("u").alias("l"), F.col("l").alias("_ll"))
+        compressed = (
+            stepped.join(l2, "l", "left")
+            .select("u", F.least(F.col("l"),
+                                 F.coalesce("_ll", F.col("l"))).alias("l"))
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        changed = (
+            compressed.join(labels.withColumnRenamed("l", "_old"), "u")
+            .filter(F.col("l") != F.col("_old")).limit(1).count()
+        )
+        labels = compressed
+        if changed == 0:
+            return labels.select(F.col("u").alias("node"),
+                                 F.col("l").alias("component"))
+    raise RuntimeError(f"dup_components did not converge in {max_iters} "
+                       f"rounds — pathological graph or bug")
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> DataFrame:
+    """Drop all but the canonical (minimum-id) member of every
+    duplicate cluster: docs LEFT ANTI JOIN the non-canonical nodes.
+    Documents in no pair pass through untouched. The join ships only
+    (node, component) — never text."""
+    comp = dup_components(pairs, a_col, b_col)
+    losers = comp.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

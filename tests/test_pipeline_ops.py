@@ -605,3 +605,75 @@ def test_multimodal_end_to_end_ann(spark, tmp_path_factory):
         .sort_values("media_id").reset_index(drop=True)
     first = feats.toPandas().sort_values("media_id").reset_index(drop=True)
     assert all(np.array_equal(x, y) for x, y in zip(first["feat"], again["feat"]))
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (large-star/small-star connected components)
+# ---------------------------------------------------------------------------
+
+def _uf_components(pairs, nodes):
+    """Pure-python union-find oracle -> {node: min-id of its component}."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_dup_components_chain_and_clique(spark):
+    """Transitive closure: a chain 1-2, 2-3, 3-4 is ONE component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21)],
+        "doc_a long, doc_b long")
+    got = {(r["node"], r["component"])
+           for r in dedup.dup_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+def test_dup_components_random_vs_union_find(spark):
+    import random
+
+    rng = random.Random(404)
+    nodes = list(range(200))
+    pairs = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    want = _uf_components(pairs, {x for p in pairs for x in p})
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["node"]: r["component"]
+           for r in dedup.dup_components(df).collect()}
+    assert got == want
+
+
+def test_dedup_keep_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (6, 7)], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"]
+                  for r in dedup.dedup_keep_canonical(docs, pairs).collect())
+    # cluster {1,3,5} keeps 1; {6,7} keeps 6; 0/2/4 untouched
+    assert kept == [0, 1, 2, 4, 6]
+
+
+def test_dedup_keep_canonical_end_to_end(spark, docs):
+    """Full pipeline on the real table: minhash pairs -> components ->
+    canonical keep; every dropped doc is in some pair, every cluster
+    keeps exactly its min id."""
+    pairs = dedup.minhash_lsh_pairs(docs, max_df=200)
+    kept = dedup.dedup_keep_canonical(docs, pairs)
+    pair_rows = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    nodes = {x for p in pair_rows for x in p}
+    want = _uf_components(pair_rows, nodes)
+    losers = {n for n, c in want.items() if n != c}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} \
+        == all_ids - losers
