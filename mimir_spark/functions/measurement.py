@@ -203,3 +203,27 @@ def normalization_map() -> Column:
             F.lit(float(f)).alias("factor"),
         ))
     return F.create_map(*entries)
+
+
+def measurement_helper(value_col: str = "value", unit_col: str = "unit"):
+    """Decorator-style annotation helper (the reference's
+    MeasurementAnnotationHelper delegating to a standard helper,
+    MeasurementAnnotationHelper.java:122-180): adds the normalized
+    virtual features (normalized_unit / normalized_min /
+    normalized_max) from a raw (value, unit) pair via the literal
+    normalization map — rows whose unit the vocabulary doesn't know
+    get NULL features (the reference's unparseable-measurement
+    behavior: such mentions simply never match a spec). Compose with
+    ``ingest.compose_helpers(base, measurement_helper(...))``."""
+    from pyspark.sql import DataFrame
+
+    def helper(df: DataFrame) -> DataFrame:
+        entry = normalization_map()[F.lower(F.trim(F.col(unit_col)))]
+        nv = F.col(value_col).cast("double") * entry["factor"]
+        return (
+            df.withColumn("normalized_unit", entry["unit"])
+            .withColumn("normalized_min", nv)
+            .withColumn("normalized_max", nv)
+        )
+
+    return helper

@@ -95,6 +95,24 @@ def narrow_turns(df: DataFrame) -> DataFrame:
     )
 
 
+def compose_helpers(*helpers):
+    """DelegatingSemanticAnnotationHelper analogue
+    (DelegatingSemanticAnnotationHelper.java:65-180): an annotation
+    helper here is any Column-producing ``df -> df`` function that
+    adds virtual feature columns; a delegating chain applies the
+    delegate first and each decorator after, so every decorator sees
+    (and can compute from) the delegate's features — exactly how the
+    reference's Measurements helper wraps a standard helper while
+    adding normalized value/unit features. Pure composition: the whole
+    chain stays one Catalyst plan, no per-row Python."""
+    def chained(df):
+        for h in helpers:
+            df = h(df)
+        return df
+
+    return chained
+
+
 def metric_entry(kind, key, metric, v):
     """Build one series-extractor entry (kind, series_key, metric, v).
 

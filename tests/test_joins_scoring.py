@@ -231,3 +231,38 @@ def test_bm25_matches_numpy_oracle(spark):
         want = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[d] / avgdl))
         assert got[d] == pytest.approx(round(want, 6), abs=1e-9)
     assert 2 not in got
+
+
+def test_delegating_helper_chain(spark):
+    """compose_helpers: decorator sees the delegate's columns; the
+    measurement decorator's virtual features are spec-filterable; an
+    unknown unit yields NULL features (never matches)."""
+    from mimir_spark.functions.measurement import measurement_helper
+    from mimir_spark.ingest import compose_helpers
+
+    raw = spark.createDataFrame(
+        [("m1", "5 cm wide", 5.0, "cm"),
+         ("m2", "2 sq ft pane", 2.0, "sq ft"),   # multi-token: unknown at ingest
+         ("m3", "3 bogons", 3.0, "bogon"),
+         ("m4", "1 hectare lot", 1.0, "hectare")],
+        "mention string, text string, value double, unit string")
+
+    def base_helper(df):  # the delegate: adds a virtual length feature
+        return df.withColumn("text_len", F.length("text"))
+
+    chain = compose_helpers(base_helper, measurement_helper())
+    out = chain(raw)
+    rows = {r["mention"]: r for r in out.collect()}
+    assert rows["m1"]["text_len"] == 9  # delegate ran first
+    assert rows["m1"]["normalized_unit"] == "m"
+    assert abs(rows["m1"]["normalized_min"] - 0.05) < 1e-12
+    assert rows["m4"]["normalized_unit"] == "m^2"
+    assert rows["m3"]["normalized_unit"] is None  # unknown unit -> NULL
+    assert rows["m2"]["normalized_unit"] is None  # compound = spec-side only
+
+    got = {r["mention"] for r in out.filter(
+        spec_predicate("1 to 10 cm")).collect()}
+    assert got == {"m1"}
+    got_area = {r["mention"] for r in out.filter(
+        spec_predicate("0.5 to 2 hectares")).collect()}
+    assert got_area == {"m4"}
