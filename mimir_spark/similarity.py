@@ -316,3 +316,71 @@ def all_pairs_topk(embeddings: DataFrame, k: int, id_col: str = "vec_id",
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# batch ANN: top-k for a whole table of queries in ONE job — the
+# batch-inference shape (embedding a new corpus against a reference
+# index). Per-query loops launch one job per vector; these launch one.
+# ---------------------------------------------------------------------------
+
+
+def batch_topk(embeddings: DataFrame, queries: DataFrame, k: int,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query table
+    against the corpus, one window rank per qid. Returns (qid, vec_id,
+    cosine, rank) with the same tie rule as _rerank_cosine (cosine
+    desc, vec_id asc)."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).cast("array<double>").alias("v")) \
+        .withColumn("_n", _norm_col(F.col("v")))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).cast("array<double>").alias("qv")) \
+        .withColumn("_qn", _norm_col(F.col("qv")))
+    sim = F.round(_dot_col(F.col("v"), F.col("qv"))
+                  / (F.col("_n") * F.col("_qn")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        e.join(F.broadcast(q))
+        .withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_batch_topk(spark, path: str, queries: DataFrame, k: int,
+                   centroids: np.ndarray, nprobe: int = 4,
+                   qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """IVF-pruned batch top-k over the cell-partitioned store: each
+    query probes its nprobe nearest cells; the UNION of all probed
+    cells prunes the scan (partition IN-list), and a broadcast
+    equi-join on cell restricts each query to ITS cells before the
+    exact rerank. One job for the whole query table.
+
+    The per-query probe lists are computed on the driver from the
+    (driver-resident, tiny) query table — the same boundary as the
+    single-query path's probe computation."""
+    qrows = queries.select(F.col(qid_col).alias("qid"),
+                           F.col(qvec_col).cast("array<double>")
+                           .alias("qv")).collect()
+    probe_rows = []
+    for r in qrows:
+        for cell in ivf_probe_cells(list(r["qv"]), centroids, nprobe):
+            probe_rows.append((r["qid"], list(r["qv"]), cell))
+    probes = spark.createDataFrame(
+        probe_rows, "qid long, qv array<double>, cell int")
+    all_cells = sorted({c for _, _, c in probe_rows})
+    store = spark.read.parquet(str(path)) \
+        .filter(F.col("cell").isin(all_cells))
+    sim = F.round(_dot_col(F.col("v"), F.col("qv"))
+                  / (_norm_col(F.col("v")) * _norm_col(F.col("qv"))), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        store.join(F.broadcast(probes), "cell")
+        .withColumn("cosine", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cosine", "rank")
+    )

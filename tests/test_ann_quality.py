@@ -108,3 +108,43 @@ def test_multi_lsh_bucketed_matches_in_memory(spark, emb, exact_topk, tmp_path):
     assert a == b
     plan = bdf._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_batch_topk_matches_per_query(spark, emb, exact_topk):
+    """One-job batch ANN == per-query exact results for every query."""
+    x, topk = exact_topk
+    queries = spark.createDataFrame(
+        [(int(q), [float(v) for v in x[q]]) for q in QUERY_IDS],
+        "qid long, qvec array<double>")
+    got = similarity.batch_topk(emb, queries, K).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert set(by_q) == set(QUERY_IDS)
+    for q in QUERY_IDS:
+        assert by_q[q] == topk(q), q
+
+
+def test_ivf_batch_topk_matches_single(spark, emb, exact_topk, tmp_path):
+    """Batch IVF == the single-query IVF path, query by query; the
+    pruned scan reads only the union of probed cells."""
+    x, _ = exact_topk
+    cent = similarity.ivf_train(x[:256], 16)
+    store = str(tmp_path / "ivf")
+    similarity.write_embeddings_ivf(emb, store, cent)
+    queries = spark.createDataFrame(
+        [(int(q), [float(v) for v in x[q]]) for q in QUERY_IDS],
+        "qid long, qvec array<double>")
+    batch = similarity.ivf_batch_topk(spark, store, queries, K, cent,
+                                      nprobe=4)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"],
+                                              r["cosine"]))
+    for q in QUERY_IDS:
+        single = [(i + 1, r["vec_id"], r["cosine"]) for i, r in enumerate(
+            similarity.ivf_topk_bucketed(spark, store, list(x[q]), K,
+                                         cent, nprobe=4).collect())]
+        assert sorted(by_q[q]) == single, q
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
