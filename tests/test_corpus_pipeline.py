@@ -1,0 +1,69 @@
+"""Composite corpus-prep pipeline: stage gating, monotone shrinkage,
+near-dup transitivity through the cluster step, report counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimir_spark.pipeline import CorpusConfig, corpus_stats, prepare_corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df = df.persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_pipeline_shrinks_monotonically(spark, docs):
+    clean, report = prepare_corpus(docs, CorpusConfig(max_df=200))
+    rows = {r["stage"]: r["docs_kept"] for r in report.collect()}
+    assert rows["input"] == docs.count()
+    order = ["input", "quality", "exact", "neardup"]
+    kept = [rows[s] for s in order if s in rows]
+    assert kept == sorted(kept, reverse=True)
+    assert clean.count() == kept[-1]
+    # clean docs keep the original schema
+    assert set(docs.columns) == set(clean.columns)
+
+
+def test_pipeline_language_gate(spark):
+    rows = [
+        (1, "the cat and the dog were in the house with the mouse"),
+        (2, "el perro y el gato en la casa con el raton bien"),
+        (3, "zz qq xx vv kk jj pp ww yy uu nn mm"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CorpusConfig(languages=("en",), min_quality=0.0, min_tokens=1,
+                       stages=("language",))
+    clean, _ = prepare_corpus(docs, cfg)
+    assert {r["doc_id"] for r in clean.collect()} == {1}
+
+
+def test_pipeline_exact_and_neardup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base), (2, base),                   # exact dup -> keep 1
+        (3, base + " extra"),                   # near dup of 1
+        (4, "completely different words here about other topics entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CorpusConfig(min_quality=0.0, min_tokens=1, max_df=None,
+                       stages=("exact", "neardup"))
+    clean, report = prepare_corpus(docs, cfg)
+    kept = sorted(r["doc_id"] for r in clean.collect())
+    assert 2 not in kept           # exact dup dropped
+    assert 1 in kept and 4 in kept
+    counts = {r["stage"]: r["docs_kept"] for r in report.collect()}
+    assert counts["exact"] == 3
+
+
+def test_corpus_stats(spark, docs):
+    row = corpus_stats(docs).first()
+    assert row["n_docs"] == docs.count()
+    assert row["total_tokens"] > 0
+    p50, p90, p99 = row["tok_p50_p90_p99"]
+    assert p50 <= p90 <= p99
