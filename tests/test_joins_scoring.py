@@ -266,3 +266,55 @@ def test_delegating_helper_chain(spark):
     got_area = {r["mention"] for r in out.filter(
         spec_predicate("0.5 to 2 hectares")).collect()}
     assert got_area == {"m4"}
+
+
+# ---------------------------------------------------------------------------
+# measurement unit algebra: property-based laws
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mimir_spark.functions.measurement import _UNITS, parse_unit
+
+    _NAMES = sorted(_UNITS)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.sampled_from(_NAMES), min_size=1, max_size=3))
+    def test_unit_product_commutes(names):
+        """Multiplication order is irrelevant: dim and factor agree for
+        any permutation of a unit product."""
+        d1, f1 = parse_unit(" ".join(names))
+        d2, f2 = parse_unit(" ".join(reversed(names)))
+        assert d1 == d2
+        assert abs(f1 - f2) <= 1e-9 * max(abs(f1), abs(f2), 1.0)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.sampled_from(_NAMES), st.sampled_from(_NAMES))
+    def test_unit_division_law(a, b):
+        """factor(a/b) == factor(a)/factor(b); dim(a/b) == dim(a)-dim(b)."""
+        da, fa = parse_unit(a)
+        db, fb = parse_unit(b)
+        d, f = parse_unit(f"{a}/{b}")
+        assert d == tuple(x - y for x, y in zip(da, db))
+        assert abs(f - fa / fb) <= 1e-9 * max(abs(f), 1e-12)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.sampled_from(_NAMES), st.sampled_from([2, 3]))
+    def test_unit_power_law(name, p):
+        d1, f1 = parse_unit(name)
+        dp, fp = parse_unit(f"{name}^{p}")
+        assert dp == tuple(x * p for x in d1)
+        assert abs(fp - f1 ** p) <= 1e-9 * max(abs(fp), 1e-30)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.text(alphabet="qwxzj", min_size=2, max_size=8))
+    def test_unknown_units_rejected(word):
+        import pytest as _pt
+        if word in _UNITS or (word.endswith("s") and word[:-1] in _UNITS):
+            return
+        with _pt.raises(ValueError):
+            parse_unit(word)
+except ImportError:  # hypothesis not installed in some environments
+    pass
