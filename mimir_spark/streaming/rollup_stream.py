@@ -321,3 +321,36 @@ def run_stream_to_memory(spark, source_dir: str, schema: str,
     )
     q.processAllAvailable()
     return q
+
+
+def streaming_sessionize(stream: DataFrame, gap_minutes: int = 30,
+                         delay: str = "10 minutes",
+                         key_col: str = "user_id") -> DataFrame:
+    """Streaming sessionization with Spark's built-in session_window:
+    a session extends while successive events arrive within
+    ``gap_minutes`` of the last one; the window closes (and the row is
+    emitted, append mode) once the watermark passes session end
+    (= last event + gap). The stateful merge/expiry machinery is
+    Structured Streaming's own — no custom state handler needed; this
+    is the engine's sessionize_events surface made continuous.
+
+    Boundary rule note: session_window merges an event iff its gap to
+    the previous event is STRICTLY LESS than the gap duration (an
+    exactly-gap-sized silence closes the session); the batch
+    window-lag formulation in the gate entry keeps an exactly-equal
+    gap in-session. Tests oracle this operator against
+    session_window's own rule.
+    """
+    s = _as_event_time(stream)
+    w = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        s.withWatermark("ts", delay)
+        .groupBy(F.col(key_col), w.alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            _bucket_ntz("w.start").alias("session_start"),
+            _bucket_ntz("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

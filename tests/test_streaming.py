@@ -197,3 +197,50 @@ def test_streaming_chunks_match_batch(spark, t_small, t_small_df, stream_dir):
         assert np.array_equal(st, bt)
         assert np.array_equal(sv.view(np.uint64), bv.view(np.uint64))
         assert bytes(s) == bytes(b)  # bit-for-bit, not just value-equal
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    """Built-in session-window sessionization through the bounded
+    replay: emitted rows == the closed sessions (end <= terminal
+    watermark) computed by a pandas oracle with session_window's
+    strict-gap rule."""
+    import pandas as pd
+
+    from mimir_spark.streaming.rollup_stream import (replay_stream,
+                                                     streaming_sessionize)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("user_id", "ts", "event_id")
+    src = str(tmp_path / "events_src")
+    ev.write.mode("overwrite").parquet(src)
+    schema = ev.schema.simpleString()[7:-1].replace(":", " ")
+
+    got = replay_stream(
+        spark, src, schema,
+        lambda s: streaming_sessionize(s, gap_minutes=30,
+                                       delay="10 minutes"),
+        query_name="sess_replay")
+    got_rows = {(r["user_id"], str(r["session_start"]),
+                 str(r["session_end"]), r["n_events"])
+                for r in got.collect()}
+
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+    wm = pdf["ts"].max() - pd.Timedelta(minutes=10)
+    want = set()
+    for uid, g in pdf.groupby("user_id"):
+        ts = g["ts"].tolist()
+        start, last, n = ts[0], ts[0], 1
+        sessions = []
+        for t in ts[1:]:
+            if t - last < gap:      # strictly-less merges
+                last, n = t, n + 1
+            else:
+                sessions.append((start, last + gap, n))
+                start, last, n = t, t, 1
+        sessions.append((start, last + gap, n))
+        for s0, s1, n in sessions:
+            if s1 <= wm:            # closed by the terminal watermark
+                want.add((uid, str(s0), str(s1), n))
+    assert got_rows == want
+    assert len(want) > 10
