@@ -210,3 +210,35 @@ def test_rollup_turns_plan_reads_only_staging(spark, t_small_df, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     assert "src_corpus" not in plan
     assert plan.count("turns") >= 2  # conv + tool branches read staging
+
+
+def test_distinct_sketch_rollup_and_cascade(spark, t_small_df):
+    """HLL distinct-count tiers: estimates exact at fixture
+    cardinalities, and the 1m->1h cascade (sketch union) equals the
+    direct-from-raw 1h computation — the re-aggregability property
+    exact distinct counts lack."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.rollup import (cascade_distinct_sketch,
+                                    rollup_distinct_sketch)
+
+    points = turn_metrics(ingest(t_small_df)) \
+        .filter(F.col("kind") == "tool")
+    fine = rollup_distinct_sketch(points, "1m")
+    direct = rollup_distinct_sketch(points, "1h")
+    derived = cascade_distinct_sketch(fine, "1h")
+
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    a = direct.select(*key, "cnt", "n_distinct").toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    b = derived.select(*key, "cnt", "n_distinct").toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    # estimates == exact distinct counts at these cardinalities
+    exact = points.filter(F.col("kind") == "tool").groupBy(
+        "kind", "series_key", "metric",
+        F.date_trunc("hour", "ts").alias("bucket_ts")) \
+        .agg(F.count_distinct("conv_id").alias("nd")).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert (a["n_distinct"].to_numpy() == exact["nd"].to_numpy()).all()
