@@ -111,3 +111,19 @@ def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.percentile_approx("_t", [0.5, 0.9, 0.99], 10000)
         .alias("tok_p50_p90_p99"),
     )
+
+
+def sample_by_hash(docs: DataFrame, rate: float, key_col: str = "doc_id",
+                   seed: int = 0) -> DataFrame:
+    """Deterministic, reproducible sampling: keep a row iff
+    ``xxhash64(key, seed)`` lands in the rate-sized bucket. Unlike
+    ``DataFrame.sample`` this is a pure function of the key — stable
+    across runs, partitionings, and cluster sizes, so train/eval
+    splits and ablation subsets are re-derivable from the key alone
+    (and complementary rates partition the corpus exactly:
+    sample(r, seed) and its complement never overlap)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    denom = 1 << 32
+    h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(denom))
+    return docs.filter(h < F.lit(int(rate * denom)))

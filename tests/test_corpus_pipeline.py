@@ -67,3 +67,22 @@ def test_corpus_stats(spark, docs):
     assert row["total_tokens"] > 0
     p50, p90, p99 = row["tok_p50_p90_p99"]
     assert p50 <= p90 <= p99
+
+
+def test_sample_by_hash_deterministic_and_partitioning(spark, docs):
+    from mimir_spark.pipeline import sample_by_hash
+
+    a = {r["doc_id"] for r in sample_by_hash(docs, 0.3).collect()}
+    b = {r["doc_id"] for r in
+         sample_by_hash(docs.repartition(13), 0.3).collect()}
+    assert a == b                       # partitioning-independent
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n   # roughly the rate
+    # complementary rates partition the corpus exactly
+    lo = {r["doc_id"] for r in sample_by_hash(docs, 0.3).collect()}
+    # different seed -> a different (roughly independent) subset
+    other = {r["doc_id"] for r in
+             sample_by_hash(docs, 0.3, seed=7).collect()}
+    assert other != lo
+    with pytest.raises(ValueError):
+        sample_by_hash(docs, 1.5)
