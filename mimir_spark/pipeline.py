@@ -127,3 +127,82 @@ def sample_by_hash(docs: DataFrame, rate: float, key_col: str = "doc_id",
     denom = 1 << 32
     h = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), F.lit(denom))
     return docs.filter(h < F.lit(int(rate * denom)))
+
+
+PACK_SCHEMA = ("seq_id string, doc_ids array<long>, n_docs int, "
+               "total_tokens long")
+
+
+def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   num_partitions: int | None = None) -> DataFrame:
+    """Pack documents into training sequences of at most ``budget``
+    tokens (best-fit-decreasing per partition) — the batch-assembly
+    step after corpus prep. Returns one row per packed sequence:
+    (seq_id, doc_ids, n_docs, total_tokens), every total <= budget;
+    documents longer than the budget become singleton sequences
+    (flagged by total_tokens > budget) so nothing silently vanishes —
+    the caller decides to truncate or drop.
+
+    Scale shape: packing is planned over (doc_id, n_tok) PAIRS — the
+    text never moves; the result is an assignment plan to join back.
+    Bins are partition-local (global bin packing doesn't parallelize);
+    determinism comes from hash(doc_id) partitioning + a fixed
+    (n_tok desc, doc_id) order, so the plan is reproducible across
+    runs and cluster sizes at fixed num_partitions."""
+    import bisect
+
+    from .functions.text import token_count
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    meta = docs.select(F.col(id_col).alias("doc_id"),
+                       token_count(text_col).cast("long").alias("n_tok"))
+    parts = num_partitions or meta.sparkSession.sparkContext.defaultParallelism
+    meta = (meta.repartition(parts, F.col("doc_id"))
+            .sortWithinPartitions(F.desc("n_tok"), F.asc("doc_id")))
+
+    def pack(iterator):
+        import pandas as pd
+
+        # stream the partition; best-fit-decreasing needs the full
+        # sorted list, which Spark already provides partition-sorted
+        rows_id, rows_tok = [], []
+        for pdf in iterator:
+            rows_id.extend(pdf["doc_id"].tolist())
+            rows_tok.extend(pdf["n_tok"].tolist())
+        if not rows_id:
+            return
+        part_tag = f"{rows_id[0]}"  # deterministic partition label
+        remainders: list[int] = []   # sorted ascending
+        order: list[int] = []        # remainders[i] -> bin index
+        bins: list[list] = []
+        totals: list[int] = []
+        for did, tok in zip(rows_id, rows_tok):
+            if tok >= budget:
+                bins.append([did]); totals.append(tok)
+                continue
+            # best fit: smallest remainder still >= tok
+            i = bisect.bisect_left(remainders, tok)
+            if i < len(remainders):
+                b = order.pop(i)
+                rem = remainders.pop(i)
+                bins[b].append(did); totals[b] += tok
+                new_rem = rem - tok
+            else:
+                bins.append([did]); totals.append(tok)
+                b = len(bins) - 1
+                new_rem = budget - tok
+            if new_rem > 0:
+                j = bisect.bisect_left(remainders, new_rem)
+                remainders.insert(j, new_rem)
+                order.insert(j, b)
+        out = pd.DataFrame({
+            "seq_id": [f"p{part_tag}-{i}" for i in range(len(bins))],
+            "doc_ids": [sorted(b) for b in bins],
+            "n_docs": [len(b) for b in bins],
+            "total_tokens": totals,
+        })
+        yield out
+
+    return meta.mapInPandas(pack, PACK_SCHEMA)

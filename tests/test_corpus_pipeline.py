@@ -86,3 +86,44 @@ def test_sample_by_hash_deterministic_and_partitioning(spark, docs):
     assert other != lo
     with pytest.raises(ValueError):
         sample_by_hash(docs, 1.5)
+
+
+def test_pack_sequences(spark, docs):
+    from mimir_spark.pipeline import pack_sequences
+
+    BUDGET = 200
+    packed = pack_sequences(docs, BUDGET, num_partitions=4)
+    rows = packed.collect()
+    # coverage: every doc exactly once
+    all_ids = sorted(i for r in rows for i in r["doc_ids"])
+    want_ids = sorted(r["doc_id"] for r in docs.collect())
+    assert all_ids == want_ids
+    # budget respected for multi-doc sequences; oversize docs are
+    # singletons
+    for r in rows:
+        if r["n_docs"] > 1:
+            assert r["total_tokens"] <= BUDGET
+        elif r["total_tokens"] > BUDGET:
+            assert r["n_docs"] == 1
+    # totals consistent with the real token counts
+    from mimir_spark.functions.text import token_count
+    toks = {r["doc_id"]: r["nt"] for r in docs.select(
+        "doc_id", token_count("text").alias("nt")).collect()}
+    for r in rows:
+        assert r["total_tokens"] == sum(toks[i] for i in r["doc_ids"])
+    # determinism across runs and input partitionings
+    again = pack_sequences(docs.repartition(11), BUDGET,
+                           num_partitions=4).collect()
+    key = lambda rs: sorted((r["seq_id"], tuple(r["doc_ids"])) for r in rs)  # noqa: E731
+    assert key(rows) == key(again)
+    # utilization: best-fit-decreasing should do much better than one
+    # doc per sequence
+    n_seqs = len(rows)
+    assert n_seqs < len(want_ids) * 0.6
+
+
+def test_pack_sequences_budget_validation(spark, docs):
+    from mimir_spark.pipeline import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
