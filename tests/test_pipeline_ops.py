@@ -677,3 +677,21 @@ def test_dedup_keep_canonical_end_to_end(spark, docs):
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} \
         == all_ids - losers
+
+
+def test_dup_components_long_path(spark):
+    """Adversarial diameter: a 600-node scrambled path collapses to
+    one min-labeled component within the round bound (the O(log^2 n)
+    guarantee of alternating large-star/small-star; naive label
+    propagation needs diameter rounds and an earlier revision of this
+    operator did not converge here)."""
+    import random
+
+    rng = random.Random(3)
+    perm = list(range(600))
+    rng.shuffle(perm)
+    pairs = [(perm[i], perm[i + 1]) for i in range(599)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    rows = dedup.dup_components(df).collect()
+    assert len(rows) == 600
+    assert {r["component"] for r in rows} == {0}
