@@ -531,6 +531,21 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
                     F.least("_mv", F.col("u")).alias("component")))
 
 
+_CC_SCRATCHES: list = []
+
+
+def release_component_scratches() -> int:
+    """Remove every default scratch dir left by dup_components calls
+    (safe once their results are consumed). Returns the count."""
+    import shutil as _sh
+
+    n = 0
+    while _CC_SCRATCHES:
+        _sh.rmtree(_CC_SCRATCHES.pop(), ignore_errors=True)
+        n += 1
+    return n
+
+
 def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          a_col: str = "doc_a",

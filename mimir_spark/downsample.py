@@ -21,8 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-LTTB_SCHEMA = ("kind string, series_key string, metric string, "
-               "ts timestamp, v double")
+from .rollup import POINTS_SCHEMA as LTTB_SCHEMA
+from .rollup import SERIES_COLS
 
 
 def lttb_select(ts_us: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
@@ -33,8 +33,11 @@ def lttb_select(ts_us: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
     selected point and the NEXT bucket's average (the classic
     formulation). Ties break toward the earliest point (argmax's first
     maximum), so selection is deterministic."""
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3 (first + last + >=1 "
+                         f"interior point), got {n_out}")
     n = len(ts_us)
-    if n_out >= n or n_out < 3:
+    if n_out >= n:
         return np.arange(n)
     # n_out - 2 interior buckets over points 1..n-2
     bounds = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
@@ -63,8 +66,7 @@ def lttb_select(ts_us: np.ndarray, v: np.ndarray, n_out: int) -> np.ndarray:
 
 
 def downsample_lttb(points: DataFrame, n_out: int,
-                    series_cols: tuple[str, ...] = ("kind", "series_key",
-                                                    "metric")) -> DataFrame:
+                    series_cols: tuple[str, ...] = SERIES_COLS) -> DataFrame:
     """LTTB-downsample every series of a (series..., ts, v) frame to at
     most ``n_out`` points. One shuffle (groupBy the series key); each
     series is processed in one vectorized pass, sorted by (ts) with a
@@ -72,7 +74,10 @@ def downsample_lttb(points: DataFrame, n_out: int,
     cols = list(series_cols)
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts"], kind="mergesort").reset_index(drop=True)
+        # (ts, v) sort key: ts alone leaves duplicate-timestamp rows in
+        # shuffle arrival order, which is run-dependent
+        pdf = pdf.sort_values(["ts", "v"], kind="mergesort") \
+            .reset_index(drop=True)
         ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         v = pdf["v"].to_numpy(dtype=np.float64)
         idx = lttb_select(ts_us, v, n_out)

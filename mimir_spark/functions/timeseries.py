@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-SERIES_COLS = ("kind", "series_key", "metric")
+from ..rollup import SERIES_COLS
 
 
 def _w(series_cols):

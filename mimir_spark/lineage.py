@@ -383,15 +383,22 @@ def run_rollup_job(
     staged = spark.read.parquet(stage_dir)
     # shard tag folded into the series kind ("<p>|conv" / "<p>|tool"):
     # one rollup pass produces per-(shard, series, bucket) groups
-    rolled = rollup_turns(staged, tiers=tiers,
-                          shard_partitions=num_partitions)
-    parts = F.split(F.col("kind"), "\\|", 2)
-    out = (
-        rolled.withColumn("p", parts.getItem(0).cast("int"))
-        .withColumn("kind", parts.getItem(1))
-        .withColumn("bucket_date", F.to_date("bucket_ts"))
-    )
-    finest = min(tiers, key=lambda t: TIER_US[t])
-    rows = store.commit_job_output(spark, out, pending, tiers, job_id, finest)
-    store.cleanup_staging(stage_dir)
+    try:
+        rolled = rollup_turns(staged, tiers=tiers,
+                              shard_partitions=num_partitions)
+        parts = F.split(F.col("kind"), "\\|", 2)
+        out = (
+            rolled.withColumn("p", parts.getItem(0).cast("int"))
+            .withColumn("kind", parts.getItem(1))
+            .withColumn("bucket_date", F.to_date("bucket_ts"))
+        )
+        finest = min(tiers, key=lambda t: TIER_US[t])
+        rows = store.commit_job_output(spark, out, pending, tiers, job_id,
+                                       finest)
+    finally:
+        # clean on success AND soft failure: a resume re-stages its own
+        # (shrunken) pending set anyway, so the staged turns are never
+        # reusable state — only a hard kill can leak them, and the next
+        # run's overwrite reclaims that
+        store.cleanup_staging(stage_dir)
     return rows

@@ -51,12 +51,14 @@ def prepare_corpus(docs: DataFrame, config: CorpusConfig | None = None,
                    text_col: str = "text") -> tuple[DataFrame, DataFrame]:
     """Run the configured stages; returns (clean_docs, report).
 
-    ``report`` is a one-row-per-stage DataFrame (stage, docs_kept) —
-    the counts are computed lazily from the returned frames, so calling
-    ``report.collect()`` is what materializes them (each count is one
-    columnar aggregate; at scale, materialize clean_docs first and the
-    counts come from the staged table).
+    ``report`` is a one-row-per-stage DataFrame (stage, docs_kept)
+    built as a union of count aggregates — genuinely lazy: no Spark
+    job runs until ``report.collect()``, so a caller that only wants
+    ``clean_docs`` pays nothing for the report, and one that
+    materializes clean_docs first lets the stage counts reuse
+    whatever it staged.
     """
+    from functools import reduce
     cfg = config or CorpusConfig()
     spark = docs.sparkSession
     cur = docs
@@ -93,11 +95,14 @@ def prepare_corpus(docs: DataFrame, config: CorpusConfig | None = None,
         cur = dedup.dedup_keep_canonical(cur, pairs, id_col=id_col)
         stage_frames.append(("neardup", cur))
 
-    def _report() -> DataFrame:
-        rows = [(name, df.count()) for name, df in stage_frames]
-        return spark.createDataFrame(rows, "stage string, docs_kept long")
-
-    return cur, _report()
+    counts = [
+        df.agg(F.count("*").alias("docs_kept"))
+        .select(F.lit(name).alias("stage"), "docs_kept")
+        for name, df in stage_frames
+    ]
+    report = reduce(lambda a, b: a.unionByName(b), counts)
+    _ = spark  # session handle kept for future staged-report variants
+    return cur, report
 
 
 def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -20,9 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import codec
-
-POINTS_SCHEMA = ("kind string, series_key string, metric string, "
-                 "ts timestamp, v double")
+from .rollup import POINTS_SCHEMA
 
 
 def decode_points(rollup_df: DataFrame) -> DataFrame:

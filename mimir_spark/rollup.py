@@ -35,6 +35,12 @@ ROLLUP_SCHEMA = (
 )
 
 _SERIES_COLS = ["kind", "series_key", "metric"]
+#: public alias + the raw-points row schema — shared by read_path,
+#: downsample, and functions.timeseries so the series vocabulary has
+#: one owner
+SERIES_COLS = tuple(_SERIES_COLS)
+POINTS_SCHEMA = ("kind string, series_key string, metric string, "
+                 "ts timestamp, v double")
 
 
 # ---------------------------------------------------------------------------

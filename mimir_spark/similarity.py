@@ -174,14 +174,26 @@ def write_embeddings_multi_lsh(embeddings: DataFrame, path: str,
     the same way; probing reads only the L probed bucket sets."""
     if dim is None:  # driver-side probe only when the caller cannot say
         dim = len(embeddings.select(vec_col).first()[0])
-    frames = None
+    # ONE scan emits all L tables: per-table signatures are sibling
+    # expressions over the same row, exploded to (tbl, bucket) pairs —
+    # a per-table union would re-read the (100 TB) input L times
+    v = F.col(vec_col).cast("array<double>")
+    entries = []
     for t in range(n_tables):
-        sigs = hyperplane_signature(embeddings, n_planes, dim, seed + t,
-                                    id_col, vec_col) \
-            .withColumn("tbl", F.lit(t))
-        frames = sigs if frames is None else frames.unionByName(sigs)
-    frames.write.mode("overwrite").partitionBy("tbl", "bucket") \
-        .parquet(str(path))
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((n_planes, dim))
+        sig = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            dot = _dot_col(v, F.lit(p.tolist()).cast("array<double>"))
+            sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("tbl"),
+                                sig.alias("bucket")))
+    (embeddings.select(F.col(id_col).alias("vec_id"), v.alias("v"),
+                       F.explode(F.array(*entries)).alias("e"))
+     .select("vec_id", "v", F.col("e.tbl").alias("tbl"),
+             F.col("e.bucket").alias("bucket"))
+     .write.mode("overwrite").partitionBy("tbl", "bucket")
+     .parquet(str(path)))
 
 
 def multi_lsh_topk_bucketed(spark, path: str, query_vec: list[float],
@@ -369,8 +381,17 @@ def ivf_batch_topk(spark, path: str, queries: DataFrame, k: int,
     for r in qrows:
         for cell in ivf_probe_cells(list(r["qv"]), centroids, nprobe):
             probe_rows.append((r["qid"], list(r["qv"]), cell))
-    probes = spark.createDataFrame(
-        probe_rows, "qid long, qv array<double>, cell int")
+    # qid keeps the INPUT's id type (string request ids are as valid
+    # as longs) — only qv/cell are pinned
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    qid_type = queries.schema[qid_col].dataType
+    probes = spark.createDataFrame(probe_rows, StructType([
+        StructField("qid", qid_type),
+        StructField("qv", ArrayType(DoubleType())),
+        StructField("cell", IntegerType()),
+    ]))
     all_cells = sorted({c for _, _, c in probe_rows})
     store = spark.read.parquet(str(path)) \
         .filter(F.col("cell").isin(all_cells))

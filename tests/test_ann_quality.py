@@ -148,3 +148,16 @@ def test_ivf_batch_topk_matches_single(spark, emb, exact_topk, tmp_path):
         assert sorted(by_q[q]) == single, q
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_ivf_batch_topk_string_qids(spark, emb, exact_topk, tmp_path):
+    """qid keeps the input's type — string request ids work."""
+    x, _ = exact_topk
+    cent = similarity.ivf_train(x[:256], 16)
+    store = str(tmp_path / "ivfq")
+    similarity.write_embeddings_ivf(emb, store, cent)
+    queries = spark.createDataFrame(
+        [("req-a", [float(v) for v in x[3]])],
+        "qid string, qvec array<double>")
+    rows = similarity.ivf_batch_topk(spark, store, queries, 5, cent).collect()
+    assert {r["qid"] for r in rows} == {"req-a"} and len(rows) == 5
