@@ -36,6 +36,12 @@ def main(argv=None) -> int:
                     help="comma list of from:to tier pairs, e.g. 1m:1h,1h:1d")
     ap.add_argument("--expire", default="",
                     help="comma list of tier:cutoff-date, e.g. 1m:2026-01-03")
+    ap.add_argument("--retain", default="",
+                    help="retention POLICY: comma list of tier:keep, "
+                         "e.g. 1m:30d,1h:26w (needs --as-of)")
+    ap.add_argument("--as-of", default="",
+                    help="logical date for --retain cutoffs (YYYY-MM-DD; "
+                         "explicit so retention is replayable)")
     ap.add_argument("--upgrade", default="",
                     help="comma list of tiers to rewrite at the current codec version")
     ap.add_argument("--max-points", type=int, default=None)
@@ -56,6 +62,16 @@ def main(argv=None) -> int:
         tier, cutoff = pair.split(":")
         dropped = store.expire(tier, cutoff)
         print(f"expire {tier} < {cutoff}: {len(dropped)} date partitions dropped")
+    if args.retain:
+        if not args.as_of:
+            ap.error("--retain needs --as-of (the logical run date)")
+        from mimir_spark.lineage import apply_retention
+
+        policy = dict(p.split(":") for p in args.retain.split(","))
+        for tier, dropped in apply_retention(store, policy,
+                                             args.as_of).items():
+            print(f"retain {tier} ({policy[tier]}): "
+                  f"{len(dropped)} date partitions dropped")
     for tier in filter(None, args.upgrade.split(",")):
         n = store.upgrade_tier(spark, tier, max_points=args.max_points)
         print(f"upgrade {tier}: {n} partitions rewritten")

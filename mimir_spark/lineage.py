@@ -402,3 +402,42 @@ def run_rollup_job(
         # run's overwrite reclaims that
         store.cleanup_staging(stage_dir)
     return rows
+
+
+_DUR_UNITS = {"d": 1, "w": 7}
+
+
+def parse_retention(spec: str) -> int:
+    """'30d' / '12w' -> days. Day granularity because expiry drops
+    whole bucket_date partition directories (the O(metadata)
+    guarantee); finer TTLs would force data rewrites."""
+    import re
+
+    m = re.fullmatch(r"(\d+)([dw])", spec.strip())
+    if not m:
+        raise ValueError(f"bad retention duration {spec!r} "
+                         f"(expected <n>d or <n>w)")
+    return int(m.group(1)) * _DUR_UNITS[m.group(2)]
+
+
+def apply_retention(store, policy: dict[str, str],
+                    as_of: str) -> dict[str, list[str]]:
+    """Enforce per-tier TTLs: for each tier, drop bucket_date
+    partitions older than ``as_of - policy[tier]``. The standard
+    tiered-retention shape — raw/fine tiers keep days, coarse tiers
+    keep years — expressed as one config dict.
+
+    ``as_of`` is an explicit date string (the job scheduler's logical
+    date): retention is deterministic and replayable, never dependent
+    on the machine clock. Returns {tier: dropped partition paths}.
+    """
+    import datetime as _dt
+
+    base = _dt.date.fromisoformat(as_of)
+    dropped = {}
+    for tier, keep in policy.items():
+        if tier not in TIER_US:
+            raise ValueError(f"unknown tier {tier!r} in retention policy")
+        cutoff = (base - _dt.timedelta(days=parse_retention(keep)))
+        dropped[tier] = store.expire(tier, cutoff.isoformat())
+    return dropped

@@ -89,3 +89,56 @@ def test_table_shim_roundtrip(spark, tmp_path):
     back = read_table(spark, path)
     assert back.count() == 20
     assert sorted(back.columns) == ["id", "part"]
+
+
+def test_retention_policy(spark, tmp_path):
+    """Per-tier TTL policy drops exactly the partitions older than
+    as_of - keep, per tier, deterministically from the logical date."""
+    from mimir_spark.fixtures import transcripts_df
+    from mimir_spark.lineage import (TieredStore, apply_retention,
+                                     parse_retention, run_rollup_job)
+
+    assert parse_retention("30d") == 30
+    assert parse_retention("2w") == 14
+    with pytest.raises(ValueError):
+        parse_retention("3h")
+
+    store = TieredStore(tmp_path / "ret")
+    run_rollup_job(spark, lambda: transcripts_df(spark, 150), store,
+                   "retjob", num_partitions=2)
+    import datetime
+
+    dates = sorted({p.name.split("=")[1]
+                    for p in (store.tier_dir("1m")).glob("p=*/bucket_date=*")})
+    assert len(dates) >= 3
+    # keep only the last day of 1m data; keep everything in 1h
+    as_of = dates[-1]
+    keep_days = 1
+    dropped = apply_retention(
+        store, {"1m": f"{keep_days}d", "1h": "520w"}, as_of)
+    cutoff = (datetime.date.fromisoformat(as_of)
+              - datetime.timedelta(days=keep_days)).isoformat()
+    left = sorted({p.name.split("=")[1]
+                   for p in (store.tier_dir("1m")).glob("p=*/bucket_date=*")})
+    assert all(d >= cutoff for d in left)
+    assert len(dropped["1m"]) > 0
+    assert dropped["1h"] == []
+    with pytest.raises(ValueError):
+        apply_retention(store, {"5s": "1d"}, as_of)
+
+
+def test_compact_job_retain_cli(spark, tmp_path, capsys):
+    from jobs.compact_job import main as compact_main
+    from mimir_spark.fixtures import transcripts_df
+    from mimir_spark.lineage import TieredStore, run_rollup_job
+
+    store = TieredStore(tmp_path / "retcli")
+    run_rollup_job(spark, lambda: transcripts_df(spark, 120), store,
+                   "retclijob", num_partitions=2, tiers=("1m", "1d"))
+    dates = sorted({p.name.split("=")[1]
+                    for p in store.tier_dir("1m").glob("p=*/bucket_date=*")})
+    rc = compact_main(["--store", str(tmp_path / "retcli"),
+                       "--retain", "1m:1d", "--as-of", dates[-1]])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "retain 1m (1d):" in out
