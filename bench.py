@@ -268,6 +268,49 @@ def main() -> int:
                 results[name] = None
                 spark = _fresh_spark(CPUS)
 
+        # round-4 engine additions (not gate entries — the gate is
+        # capped at 50 — but perf-tracked here)
+        def _x_lttb(sp, sf):
+            from pyspark.sql import functions as XF
+
+            from mimir_spark.downsample import downsample_lttb
+
+            ev = sp.read.parquet(f"{sf}/events.parquet").select(
+                XF.lit("ev").alias("kind"),
+                XF.col("event_type").alias("series_key"),
+                XF.lit("value").alias("metric"),
+                XF.col("ts").cast("timestamp").alias("ts"),
+                XF.col("value").cast("double").alias("v"))
+            return downsample_lttb(ev, 2000)
+
+        def _x_pack(sp, sf):
+            from mimir_spark.pipeline import pack_sequences
+
+            return pack_sequences(
+                sp.read.parquet(f"{sf}/documents.parquet"), 512,
+                num_partitions=8)
+
+        def _x_cluster(sp, sf):
+            from mimir_spark import dedup
+
+            docs = sp.read.parquet(f"{sf}/documents.parquet")
+            pairs = dedup.jaccard_pairs(docs, 0.4, max_df=1000)
+            return dedup.dedup_keep_canonical(docs, pairs)
+
+        for name, fn in [("lttb_downsample_events", _x_lttb),
+                         ("pack_sequences_docs", _x_pack),
+                         ("dedup_cluster_keep", _x_cluster)]:
+            t0 = time.monotonic()
+            try:
+                _with_watchdog(spark, lambda: _materialize(fn(spark, SF_DIR)),
+                               90, f"extra {name}")
+                results[name] = round(time.monotonic() - t0, 3)
+                note(f"extra {name}: {results[name]}s")
+            except Exception as e:
+                note(f"extra {name} FAILED: {e}")
+                results[name] = None
+                spark = _fresh_spark(CPUS)
+
         # corpus gen on the widest session (python-bound), timed runs below
         corpus_path = _ensure_corpus(spark)
         n_turns = spark.read.parquet(corpus_path).count()
