@@ -71,6 +71,10 @@ def downsample_lttb(points: DataFrame, n_out: int,
     most ``n_out`` points. One shuffle (groupBy the series key); each
     series is processed in one vectorized pass, sorted by (ts) with a
     deterministic tie-break so repeated runs select identical points."""
+    if n_out < 3:  # validate driver-side: a worker-raised error would
+        # surface as an opaque PythonException mid-job
+        raise ValueError(f"n_out must be >= 3 (first + last + >=1 "
+                         f"interior point), got {n_out}")
     cols = list(series_cols)
 
     def per_series(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -127,3 +127,38 @@ def test_pack_sequences_budget_validation(spark, docs):
 
     with pytest.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=700),
+                    min_size=1, max_size=60),
+           st.sampled_from([64, 256, 512]))
+    def test_pack_sequences_fuzz(spark_global, token_counts, budget):
+        """Invariants under random document sizes: exact coverage,
+        budget respected for multi-doc bins, totals consistent."""
+        from mimir_spark.pipeline import pack_sequences
+
+        spark = spark_global
+        rows = [(i, " ".join(["w"] * n) if n else None)
+                for i, n in enumerate(token_counts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        packed = pack_sequences(docs, budget, num_partitions=2).collect()
+        all_ids = sorted(i for r in packed for i in r["doc_ids"])
+        assert all_ids == list(range(len(token_counts)))
+        for r in packed:
+            if r["n_docs"] > 1:
+                assert r["total_tokens"] <= budget
+            assert r["total_tokens"] == sum(
+                token_counts[i] for i in r["doc_ids"])
+
+    import pytest as _pt
+
+    @_pt.fixture(scope="module")
+    def spark_global(spark):
+        return spark
+except ImportError:
+    pass

@@ -90,3 +90,31 @@ def test_downsample_lttb_distributed(spark):
         ["series_key", "ts"]).reset_index(drop=True)
     first = out.sort_values(["series_key", "ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(first, again)
+
+
+def test_downsample_lttb_duplicate_timestamps_deterministic(spark):
+    """Rows sharing a timestamp must not make selection depend on
+    shuffle arrival order: the (ts, v) sort key pins them."""
+    rows = []
+    base = pd.Timestamp("2026-03-01")
+    rng = np.random.default_rng(9)
+    for i in range(300):
+        # every third timestamp duplicated with a different value
+        t = base + pd.Timedelta(seconds=i // 3)
+        rows.append(("conv", "dup", "m", t, float(rng.standard_normal())))
+    pdf = pd.DataFrame(rows, columns=["kind", "series_key", "metric",
+                                      "ts", "v"])
+    a = downsample_lttb(spark.createDataFrame(pdf), 40) \
+        .toPandas().sort_values(["ts", "v"]).reset_index(drop=True)
+    b = downsample_lttb(spark.createDataFrame(pdf).repartition(7), 40) \
+        .toPandas().sort_values(["ts", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_downsample_lttb_rejects_tiny_budget(spark):
+    pdf = pd.DataFrame({"kind": ["c"], "series_key": ["s"],
+                        "metric": ["m"],
+                        "ts": [pd.Timestamp("2026-01-01")], "v": [1.0]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError):
+        downsample_lttb(df, 2)  # rejected at plan-build time
