@@ -81,3 +81,27 @@ def gapfill(rollup_df: DataFrame, tier: str, value_col: str = "sum_v",
         filled_val.alias(value_col),
         F.col("_obs").isNull().alias("filled"),
     )
+
+
+def missing_buckets(rollup_df: DataFrame, tier: str) -> DataFrame:
+    """The monitoring complement of gap-fill: per-series buckets with
+    NO data between each series' first and last observed bucket —
+    (series, bucket_ts, gap_len) where gap_len counts the consecutive
+    missing run the bucket belongs to. Grid anti-join (the grid side
+    is one tiny aggregate per series, broadcast) + one window to label
+    runs; no Python."""
+    grid = _grid(rollup_df, tier)
+    missing = grid.join(
+        rollup_df.select(*_SERIES, "bucket_ts"),
+        _SERIES + ["bucket_ts"], "left_anti")
+    unit_s = TIER_US[tier] // 1_000_000
+    w = Window.partitionBy(*_SERIES).orderBy("bucket_ts")
+    # run id: bucket index minus rank is constant within a consecutive run
+    idx = (F.unix_timestamp("bucket_ts") / F.lit(unit_s)).cast("long")
+    run = (idx - F.row_number().over(w)).alias("_run")
+    runs = missing.select(*_SERIES, "bucket_ts", run)
+    wr = Window.partitionBy(*_SERIES, "_run")
+    return (
+        runs.withColumn("gap_len", F.count("*").over(wr))
+        .select(*_SERIES, "bucket_ts", "gap_len")
+    )

@@ -65,3 +65,32 @@ def test_grid_is_dense(rollup_1h):
     for _, g in got.groupby(["kind", "series_key", "metric"]):
         b = np.sort(g["bucket_ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
         assert (np.diff(b) == 3_600_000_000).all()
+
+
+def test_missing_buckets(spark):
+    """Gap report: exactly the grid buckets without data, with run
+    lengths labelling consecutive gaps."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mimir_spark.gapfill import missing_buckets
+
+    base = pd.Timestamp("2026-04-01 10:00:00")
+    have = [0, 1, 4, 5, 9]   # gaps: [2,3] (len 2), [6,7,8] (len 3)
+    rows = [("conv", "s1", "m", base + pd.Timedelta(hours=h), 1.0)
+            for h in have]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["kind", "series_key", "metric",
+                                    "bucket_ts", "sum_v"]))
+    got = {(str(r["bucket_ts"]), r["gap_len"])
+           for r in missing_buckets(df, "1h").collect()}
+    want = {(str(base + pd.Timedelta(hours=h)), n)
+            for h, n in [(2, 2), (3, 2), (6, 3), (7, 3), (8, 3)]}
+    assert got == want
+    # a gapless series reports nothing
+    full = spark.createDataFrame(
+        pd.DataFrame([("conv", "s2", "m", base + pd.Timedelta(hours=h), 1.0)
+                      for h in range(4)],
+                     columns=["kind", "series_key", "metric",
+                              "bucket_ts", "sum_v"]))
+    assert missing_buckets(full, "1h").count() == 0
