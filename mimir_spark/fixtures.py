@@ -176,3 +176,32 @@ def clustered_embeddings_df(spark, n_vectors: int, dim: int = 64,
         embedding=pdf["embedding"].map(lambda a: [float(x) for x in a]))
     return spark.createDataFrame(
         pdf, "vec_id long, cluster int, embedding array<double>")
+
+
+def neardup_docs_pandas(n_base: int = 150, dup_frac: float = 0.4,
+                        mutate_tokens: int = 2, doc_tokens: int = 60,
+                        seed: int = 23) -> pd.DataFrame:
+    """Seeded near-duplicate corpus with KNOWN ground truth: base
+    documents of ``doc_tokens`` vocabulary words; a ``dup_frac``
+    fraction get one near-duplicate copy with ``mutate_tokens`` random
+    token substitutions (high-Jaccard by construction). Returns
+    (doc_id, text, dup_of) where dup_of is the base doc id for
+    near-dups and NULL for originals — the label dedup quality gates
+    measure against."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab()
+    rows = []
+    next_id = 0
+    for b in range(n_base):
+        toks = list(vocab[rng.integers(0, len(vocab), size=doc_tokens)])
+        rows.append((next_id, " ".join(toks), None))
+        base_id = next_id
+        next_id += 1
+        if rng.random() < dup_frac:
+            mut = list(toks)
+            for pos in rng.choice(doc_tokens, size=mutate_tokens,
+                                  replace=False):
+                mut[int(pos)] = str(vocab[rng.integers(0, len(vocab))])
+            rows.append((next_id, " ".join(mut), base_id))
+            next_id += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text", "dup_of"])
