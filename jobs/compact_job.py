@@ -37,8 +37,9 @@ def main(argv=None) -> int:
     ap.add_argument("--expire", default="",
                     help="comma list of tier:cutoff-date, e.g. 1m:2026-01-03")
     ap.add_argument("--retain", default="",
-                    help="retention POLICY: comma list of tier:keep, "
-                         "e.g. 1m:30d,1h:26w (needs --as-of)")
+                    help="retention POLICY: comma list of tier:keep, e.g. "
+                         "1m:30d,1h:26w — keeps the N most recent days, "
+                         "as-of inclusive (needs --as-of)")
     ap.add_argument("--as-of", default="",
                     help="logical date for --retain cutoffs (YYYY-MM-DD; "
                          "explicit so retention is replayable)")
@@ -67,7 +68,10 @@ def main(argv=None) -> int:
             ap.error("--retain needs --as-of (the logical run date)")
         from mimir_spark.lineage import apply_retention
 
-        policy = dict(p.split(":") for p in args.retain.split(","))
+        pairs = [p.split(":") for p in filter(None, args.retain.split(","))]
+        if any(len(p) != 2 for p in pairs):
+            ap.error(f"--retain entries must be tier:keep, got {args.retain!r}")
+        policy = dict(pairs)
         for tier, dropped in apply_retention(store, policy,
                                              args.as_of).items():
             print(f"retain {tier} ({policy[tier]}): "

@@ -422,22 +422,25 @@ def parse_retention(spec: str) -> int:
 
 def apply_retention(store, policy: dict[str, str],
                     as_of: str) -> dict[str, list[str]]:
-    """Enforce per-tier TTLs: for each tier, drop bucket_date
-    partitions older than ``as_of - policy[tier]``. The standard
-    tiered-retention shape — raw/fine tiers keep days, coarse tiers
-    keep years — expressed as one config dict.
+    """Enforce per-tier TTLs. EXACT-N semantics: ``"30d"`` keeps the
+    30 most recent calendar days of bucket_date partitions, ``as_of``
+    inclusive (cutoff = as_of - (N-1); strictly older partitions
+    drop). The standard tiered-retention shape — fine tiers keep days,
+    coarse tiers keep years — as one config dict.
 
     ``as_of`` is an explicit date string (the job scheduler's logical
     date): retention is deterministic and replayable, never dependent
-    on the machine clock. Returns {tier: dropped partition paths}.
+    on the machine clock. The WHOLE policy is validated before the
+    first drop — a typo'd tier or duration raises without any
+    destructive half-application. Returns {tier: dropped paths}.
     """
     import datetime as _dt
 
     base = _dt.date.fromisoformat(as_of)
-    dropped = {}
-    for tier, keep in policy.items():
+    cutoffs = {}
+    for tier, keep in policy.items():  # validate everything first
         if tier not in TIER_US:
             raise ValueError(f"unknown tier {tier!r} in retention policy")
-        cutoff = (base - _dt.timedelta(days=parse_retention(keep)))
-        dropped[tier] = store.expire(tier, cutoff.isoformat())
-    return dropped
+        cutoffs[tier] = base - _dt.timedelta(days=parse_retention(keep) - 1)
+    return {tier: store.expire(tier, cutoff.isoformat())
+            for tier, cutoff in cutoffs.items()}

@@ -137,12 +137,12 @@ try:
     @given(st.lists(st.integers(min_value=0, max_value=700),
                     min_size=1, max_size=60),
            st.sampled_from([64, 256, 512]))
-    def test_pack_sequences_fuzz(spark_global, token_counts, budget):
+    def test_pack_sequences_fuzz(spark, token_counts, budget):
         """Invariants under random document sizes: exact coverage,
-        budget respected for multi-doc bins, totals consistent."""
+        budget respected for multi-doc bins, totals consistent.
+        (conftest's spark fixture is session-scoped, so hypothesis's
+        function-scoped-fixture health check stays satisfied.)"""
         from mimir_spark.pipeline import pack_sequences
-
-        spark = spark_global
         rows = [(i, " ".join(["w"] * n) if n else None)
                 for i, n in enumerate(token_counts)]
         docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -155,10 +155,5 @@ try:
             assert r["total_tokens"] == sum(
                 token_counts[i] for i in r["doc_ids"])
 
-    import pytest as _pt
-
-    @_pt.fixture(scope="module")
-    def spark_global(spark):
-        return spark
 except ImportError:
     pass

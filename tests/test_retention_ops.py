@@ -116,8 +116,8 @@ def test_retention_policy(spark, tmp_path):
     keep_days = 1
     dropped = apply_retention(
         store, {"1m": f"{keep_days}d", "1h": "520w"}, as_of)
-    cutoff = (datetime.date.fromisoformat(as_of)
-              - datetime.timedelta(days=keep_days)).isoformat()
+    # exact-N: "1d" keeps ONLY the as_of day
+    cutoff = as_of
     left = sorted({p.name.split("=")[1]
                    for p in (store.tier_dir("1m")).glob("p=*/bucket_date=*")})
     assert all(d >= cutoff for d in left)
