@@ -211,3 +211,14 @@ def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
         yield out
 
     return meta.mapInPandas(pack, PACK_SCHEMA)
+
+
+def lang_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language distribution of a corpus: (lang, n_docs, pct) — the
+    companion to corpus_stats for before/after-gate reporting."""
+    counts = docs.groupBy(TX.lang_id(text_col).alias("lang")) \
+        .agg(F.count("*").alias("n_docs"))
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.select(
+        "lang", "n_docs",
+        F.round(F.col("n_docs") / total * 100, 2).alias("pct"))

@@ -157,3 +157,11 @@ try:
 
 except ImportError:
     pass
+
+
+def test_lang_mix(spark, docs):
+    from mimir_spark.pipeline import lang_mix
+
+    rows = lang_mix(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert abs(sum(r["pct"] for r in rows) - 100.0) < 0.5
