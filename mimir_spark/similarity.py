@@ -70,7 +70,16 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int,
     LSH). This in-memory variant computes buckets on the fly (full scan,
     cheap filter); the scale path is write_embeddings_bucketed +
     lsh_topk_bucketed, where the probe set prunes partitions at the
-    scan."""
+    scan.
+
+    RECALL WARNING — prefer ``multi_lsh_topk``: a SINGLE table at the
+    default probe radius measured recall@10 0.81 on the clustered
+    fixture (tests/test_ann_quality.py / PLANS.md), below the 0.9 bar
+    this repo gates ANN paths at. The multi-table variant (L=6, same
+    planes/radius) measures mean 0.975 / min 0.90 at a comparable
+    total scan fraction and is the documented default for quality-
+    sensitive retrieval; keep this single-table variant for cheap
+    candidate generation where misses are acceptable."""
     dim = len(query_vec)
     sigs = hyperplane_signature(embeddings, n_planes, dim, seed, id_col, vec_col)
     rng = np.random.default_rng(seed)
@@ -311,10 +320,32 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int,
                           query_vec, k)
 
 
+#: Upper bound on the input rows `all_pairs_topk` will accept — the
+#: same refusal as dedup.COSINE_BRUTE_FORCE_MAX_ROWS and for the same
+#: reason: the exact kNN-join is an O(n^2) non-equi self-join
+#: (BroadcastNestedLoopJoin), correct as the recall oracle for the
+#: bucketed variants but catastrophic on a large table. Raise it
+#: explicitly (or pass max_rows=None) only in tests/oracles; the
+#: scale path is ``lsh_all_pairs_topk``.
+ALL_PAIRS_MAX_ROWS = 100_000
+
+
 def all_pairs_topk(embeddings: DataFrame, k: int, id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_rows: int | None = ALL_PAIRS_MAX_ROWS) -> DataFrame:
     """k nearest neighbours for EVERY vector (brute-force; useful as the
-    recall oracle for bucketed variants)."""
+    recall oracle for bucketed variants). Guarded by ``max_rows``: the
+    count is one cheap columnar scan and prevents the O(n^2) plan from
+    ever reaching a large table by accident — use
+    ``lsh_all_pairs_topk`` there."""
+    if max_rows is not None:
+        n = embeddings.count()
+        if n > max_rows:
+            raise ValueError(
+                f"all_pairs_topk is the O(n^2) exact kNN-join oracle and "
+                f"the input has {n} rows (> max_rows={max_rows}); use "
+                f"lsh_all_pairs_topk for large tables, or pass "
+                f"max_rows=None/higher if you really mean it")
     normed = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("norm", _norm_col(F.col("v")))
@@ -328,6 +359,80 @@ def all_pairs_topk(embeddings: DataFrame, k: int, id_col: str = "vec_id",
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def lsh_all_pairs_topk(embeddings: DataFrame, k: int, n_tables: int = 12,
+                       n_planes: int = 8, seed: int = 42,
+                       probe_hamming: int = 1, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       dim: int | None = None) -> DataFrame:
+    """Approximate k-nearest-neighbours for EVERY vector — the scale
+    path for the kNN-join (``all_pairs_topk`` is its O(n^2) oracle,
+    guarded by ALL_PAIRS_MAX_ROWS). Same output shape
+    (qid, nid, cosine, rank); vectors with no co-bucketed neighbour in
+    any table emit no rows (approximate by construction).
+
+    Candidates come from L independent hyperplane-LSH tables: a pair
+    is scored iff some table puts both vectors in buckets within
+    ``probe_hamming`` bit flips (0 = exact co-bucket). The self-join
+    is a bucket EQUI-join — for probe_hamming > 0 each vector expands
+    to its probe neighbourhood on ONE side only, keeping the join an
+    equality on (tbl, bucket) — so the plan is a shuffle hash/merge
+    join, never a BroadcastNestedLoopJoin: per-bucket local all-pairs,
+    the same shape as dedup's minhash band join. Cost scales with the
+    bucket-size distribution (sum of b^2 over buckets), controlled by
+    ``n_planes``; cross-table duplicate candidates dedup on (qid, nid)
+    before ranking. Defaults (L=12 tables, 8 planes, hamming <= 1)
+    measured mean recall@10 0.95 on the clustered fixture at a ~40%
+    candidate fraction — the same fraction/quality point as the
+    single-query multi_lsh_topk config; gated vs the exact oracle in
+    tests/test_ann_quality.py."""
+    if dim is None:  # driver-side probe only when the caller cannot say
+        dim = len(embeddings.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+    entries = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((n_planes, dim))
+        sig = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            dot = _dot_col(v, F.lit(p.tolist()).cast("array<double>"))
+            sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    # ONE scan emits all L (tbl, bucket) entries per vector
+    sigs = (embeddings.select(F.col(id_col).alias("vid"), v.alias("v"),
+                              F.explode(F.array(*entries)).alias("e"))
+            .select("vid", "v", F.col("e.tbl").alias("tbl"),
+                    F.col("e.bucket").alias("bucket"))
+            .withColumn("norm", _norm_col(F.col("v"))))
+    if probe_hamming > 0:
+        # expand the PROBE side to the hamming ball so near-miss
+        # buckets still meet in an equi-join; the build side stays 1x
+        flips = [0] + [1 << i for i in range(n_planes)]
+        if probe_hamming >= 2:
+            flips += [(1 << i) | (1 << j) for i in range(n_planes)
+                      for j in range(i + 1, n_planes)]
+        probe_side = sigs.withColumn(
+            "bucket", F.explode(F.array(*[
+                F.col("bucket").bitwiseXOR(F.lit(m)) for m in flips])))
+    else:
+        probe_side = sigs
+    a = probe_side.select(F.col("vid").alias("qid"), F.col("v").alias("qv"),
+                          F.col("norm").alias("qn"), "tbl", "bucket")
+    b = sigs.select(F.col("vid").alias("nid"), F.col("v").alias("nv"),
+                    F.col("norm").alias("nn"), "tbl", "bucket")
+    sim = _dot_col(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(sim, 6).alias("cosine"))
+        # a pair can meet in several tables/probes; cosine is a pure
+        # function of the pair, so keep-any dedup is deterministic
+        .dropDuplicates(["qid", "nid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
 
 
 # ---------------------------------------------------------------------------

@@ -161,3 +161,50 @@ def test_ivf_batch_topk_string_qids(spark, emb, exact_topk, tmp_path):
         "qid string, qvec array<double>")
     rows = similarity.ivf_batch_topk(spark, store, queries, 5, cent).collect()
     assert {r["qid"] for r in rows} == {"req-a"} and len(rows) == 5
+
+
+def test_all_pairs_guard_refuses_big_input(spark, emb):
+    """The exact kNN-join is the O(n^2) oracle; above max_rows it must
+    refuse instead of planning an n^2 BroadcastNestedLoopJoin."""
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        similarity.all_pairs_topk(emb, K, max_rows=100)
+
+
+def test_lsh_all_pairs_recall_on_clustered(spark, emb, exact_topk):
+    """The bucketed kNN-join (per-(tbl,bucket) local all-pairs, L=12
+    tables, 8 planes, hamming<=1 probe expansion — mean recall 0.95 /
+    ~40% candidate fraction measured on this fixture) recalls >= 0.9
+    of the exact oracle's neighbour sets, averaged over every vector —
+    and its plan is equi-join only (no BroadcastNestedLoopJoin)."""
+    x, _ = exact_topk
+    approx = similarity.lsh_all_pairs_topk(emb, K, dim=DIM)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    exact = similarity.all_pairs_topk(emb, K, max_rows=None)
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["qid"], set()).add(r["nid"])
+    recs = [_recall(got.get(q, set()), nbrs) for q, nbrs in want.items()]
+    assert np.mean(recs) >= 0.9, (np.mean(recs), min(recs))
+
+
+def test_lsh_all_pairs_pairs_are_exact_cosines(spark, emb, exact_topk):
+    """Every (qid, nid, cosine) the approximate join emits carries the
+    EXACT cosine (rounded 6dp) — approximation only drops pairs, never
+    mis-scores them — and ranks are dense per qid."""
+    x, _ = exact_topk
+    norms = np.linalg.norm(x, axis=1)
+    rows = similarity.lsh_all_pairs_topk(emb, K, dim=DIM) \
+        .filter("qid IN (3, 211, 540)").collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        q, n = int(r["qid"]), int(r["nid"])
+        want = round(float(x[q] @ x[n] / (norms[q] * norms[n])), 6)
+        assert abs(r["cosine"] - want) < 1e-9, (q, n)
+        by_q.setdefault(q, []).append(int(r["rank"]))
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
