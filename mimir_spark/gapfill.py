@@ -25,17 +25,43 @@ from .rollup import TIER_US
 
 _SERIES = ["kind", "series_key", "metric"]
 
+#: Max buckets per generated `sequence()` array in the gap-fill grid.
+#: A single long-lived sparse series (the canonical gap-fill input)
+#: can span years: 2 years at the 1m tier is ~1.05M buckets, which a
+#: one-level `sequence(lo, hi, step)` would materialize as ONE
+#: million-element array row before the explode (heap blowup per row,
+#: and `sequence` hard-caps its element count). The grid therefore
+#: generates two levels: chunk starts (span / CHUNK elements), then
+#: <= CHUNK buckets within each chunk — identical output, every array
+#: bounded.
+_GRID_CHUNK = 4096
+
 
 def _grid(df: DataFrame, tier: str) -> DataFrame:
     """One row per (series, bucket) for every tier bucket between each
-    series' min and max observed bucket."""
-    step = F.expr(f"INTERVAL {TIER_US[tier] // 1_000_000} SECONDS")
+    series' min and max observed bucket. Two-level chunked expansion —
+    see _GRID_CHUNK; both explodes stay partitioned by series, so the
+    100 TB shape (one shuffle per series group) is unchanged."""
+    unit_s = TIER_US[tier] // 1_000_000
+    step = F.expr(f"INTERVAL {unit_s} SECONDS")
+    chunk_step = F.expr(f"INTERVAL {unit_s * _GRID_CHUNK} SECONDS")
+    last_in_chunk = F.expr(
+        f"_chunk + INTERVAL {unit_s * (_GRID_CHUNK - 1)} SECONDS")
     return (
         df.groupBy(*_SERIES)
         .agg(F.min("bucket_ts").alias("_lo"), F.max("bucket_ts").alias("_hi"))
         .select(
+            *_SERIES, "_hi",
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), chunk_step)
+            ).alias("_chunk"),
+        )
+        .select(
             *_SERIES,
-            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias("bucket_ts"),
+            F.explode(
+                F.sequence(F.col("_chunk"),
+                           F.least(last_in_chunk, F.col("_hi")), step)
+            ).alias("bucket_ts"),
         )
     )
 

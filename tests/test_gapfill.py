@@ -94,3 +94,66 @@ def test_missing_buckets(spark):
                      columns=["kind", "series_key", "metric",
                               "bucket_ts", "sum_v"]))
     assert missing_buckets(full, "1h").count() == 0
+
+
+def test_chunked_grid_crosses_boundary_exactly(spark):
+    """The two-level chunked grid (gapfill._GRID_CHUNK buckets per
+    sequence array) must reproduce the one-level semantics exactly
+    across chunk boundaries: a 1m-tier span of ~4200 buckets (> one
+    4096-bucket chunk) with sparse observations matches the naive
+    pandas oracle row-for-row."""
+    import pandas as pd
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    have = [0, 7, 4095, 4096, 4097, 4199]  # straddles the chunk edge
+    rows = [("conv", "s1", "m", base + pd.Timedelta(minutes=m), float(m))
+            for m in have]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["kind", "series_key", "metric",
+                                    "bucket_ts", "sum_v"]))
+    got = _norm(gapfill(df, "1m", "sum_v", "linear").toPandas())
+    want = _norm(oracle_ref.gapfill(df.toPandas(), "1m", "sum_v", "linear"))
+    assert len(got) == 4200
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_multi_year_1m_series_grid_is_bounded(spark):
+    """A sparse series spanning 2 years at the 1m tier (~1.05M grid
+    buckets) gap-fills without materializing a million-element array
+    in one row — the exact blowup the chunked grid exists to prevent.
+    Verifies the full grid size, chunk-edge continuity, and LOCF
+    values at both ends."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    span_min = 2 * 365 * 24 * 60  # 1,051,200 one-minute buckets + 1
+    rows = [
+        ("conv", "long", "m", base, 1.0),
+        ("conv", "long", "m", base + pd.Timedelta(minutes=span_min // 2), 2.0),
+        ("conv", "long", "m", base + pd.Timedelta(minutes=span_min), 3.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["kind", "series_key", "metric",
+                                    "bucket_ts", "sum_v"]))
+    filled = gapfill(df, "1m", "sum_v", "locf")
+    stats = filled.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("bucket_ts").alias("nd"),
+        F.min("bucket_ts").alias("lo"),
+        F.max("bucket_ts").alias("hi"),
+    ).first()
+    assert stats["n"] == span_min + 1
+    assert stats["nd"] == span_min + 1  # dense + duplicate-free
+    assert pd.Timestamp(stats["lo"]) == base
+    assert pd.Timestamp(stats["hi"]) == base + pd.Timedelta(minutes=span_min)
+    probe = {
+        pd.Timestamp(r["bucket_ts"]): r["sum_v"]
+        for r in filled.filter(
+            F.col("bucket_ts").isin(
+                [base + pd.Timedelta(minutes=m)
+                 for m in (1, span_min // 2 + 1, span_min)])).collect()
+    }
+    assert probe[base + pd.Timedelta(minutes=1)] == 1.0          # LOCF from lo
+    assert probe[base + pd.Timedelta(minutes=span_min // 2 + 1)] == 2.0
+    assert probe[base + pd.Timedelta(minutes=span_min)] == 3.0   # real point
