@@ -86,15 +86,19 @@ class Repeat:
 
 _KEYWORDS = {"OR", "AND", "IN", "OVER", "MINUS", "REGEX"}
 
+# whitespace is EXACTLY the index tokenizer's class (terms.WS_RE =
+# [ \t\n\r]+), NOT \s: \s also eats NBSP/\x0b/unicode spaces, which
+# the index keeps INSIDE a token — query-vs-index tokenization must
+# agree character-for-character (tests/test_tokenizer_parity)
 _TOKEN_RE = re.compile(
     r"""
-      (?P<ws>\s+)
+      (?P<ws>[ \t\n\r]+)
     | (?P<string>"(?:\\.|[^"\\])*")
     | (?P<number>-?\d+(?:\.\d+)?)
     | (?P<dotdot>\.\.)
     | (?P<cmp><=|>=|<|>|=)
     | (?P<sym>[(){}\[\]:,|&+?.])
-    | (?P<tok>(?:\\.|[^\s(){}\[\]:,=<>|&+?."\\])+)
+    | (?P<tok>(?:\\.|[^ \t\n\r(){}\[\]:,=<>|&+?."\\])+)
     """,
     re.VERBOSE,
 )
@@ -249,7 +253,16 @@ class _Parser:
         if t.kind == "sym" and t.text == "{":
             return self.annotation()
         if t.kind == "string":
-            words = _unescape(t.text[1:-1]).split()
+            # split EXACTLY like the index tokenizer (terms.WS_RE =
+            # [ \t\n\r]+): Python str.split() also breaks on \x0b/
+            # \x0c/unicode spaces, which the index keeps inside a
+            # token — a quoted phrase must tokenize identically to
+            # indexed text (QueryParser.jj:404-459 uses the indexing
+            # tokenizer for quoted strings; tests/test_tokenizer_parity)
+            words = [w for w in
+                     re.split("[ \t\n\r]+", _unescape(t.text[1:-1])) if w]
+            if not words:
+                raise QueryParseError("empty quoted string")
             if len(words) == 1:
                 return Term(words[0])
             return Seq(tuple(Term(w) for w in words),
@@ -364,8 +377,14 @@ def execute(node, turns: DataFrame, text_col: str = "text",
         if term_index is not None:
             return term_index(node.value)
         toks = F.split(F.trim(F.lower(F.col(text_col))), _WS_RE)
+        # downcase the query term with the SAME engine as the indexed
+        # text (JVM F.lower, not Python str.lower): unicode case maps
+        # differ between the two for a handful of code points (dotted
+        # I, final sigma), and the reference guarantees query terms
+        # are processed by the indexing TermProcessor chain
+        # (doc/searching.tex:55-67) — tests/test_tokenizer_parity pins it
         return turns.filter(
-            F.array_contains(toks, node.value.lower())
+            F.array_contains(toks, F.lower(F.lit(node.value)))
         ).select("conv_id", F.col("turn_idx").alias("pos"),
                  F.lit(1).alias("len"))
     if isinstance(node, Ann):
