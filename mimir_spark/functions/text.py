@@ -8,7 +8,7 @@ ANSI-SQL-expressible so the DuckDB oracle can verify it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WS_RE = "[ \\t\\n\\r]+"
@@ -128,6 +128,59 @@ def pattern_description(template: str) -> Column:
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
     return F.concat(*parts) if parts else F.lit(template)
+
+
+def ontology_description(type_name: str, class_col, instance_col=None,
+                         separator: str = "#",
+                         local_names_only: bool = True) -> Column:
+    """Ontology-entity mention description — OntologyMentionDescriber
+    (util/OntologyMentionDescriber.java:91-135): 'Class (Instance)',
+    e.g. 'City (London)', where class/instance URIs are shortened to
+    their local name (the substring after the FIRST ``separator``
+    occurrence; the whole URI when the separator is absent or
+    ``local_names_only=False``). A NULL class falls back to the
+    annotation type; a NULL instance drops the parenthesis."""
+    def _name(col) -> Column:
+        c = col if isinstance(col, Column) else F.col(col)
+        if not local_names_only:
+            return c
+        pos = F.instr(c, separator)
+        return F.when(pos > 0,
+                      c.substr(pos + len(separator), F.length(c))
+                      ).otherwise(c)
+
+    cls = class_col if isinstance(class_col, Column) else F.col(class_col)
+    desc = _name(cls)
+    if instance_col is not None:
+        inst = (instance_col if isinstance(instance_col, Column)
+                else F.col(instance_col))
+        desc = F.when(
+            inst.isNotNull(),
+            F.concat(desc, F.lit(" ("), _name(inst), F.lit(")"))
+        ).otherwise(desc)
+    return F.when(cls.isNotNull(), desc).otherwise(F.lit(type_name))
+
+
+def describe_with_ontology(mentions: DataFrame, ontology: DataFrame,
+                           uri_col: str = "class",
+                           label_col: str = "label",
+                           out_col: str = "description") -> DataFrame:
+    """Label-table variant of the ontology describer: descriptions come
+    from an ontology lookup table (uri -> human label) instead of URI
+    local names. The ontology side is small by construction (a class
+    hierarchy), so it ships as a BROADCAST left join — no shuffle of
+    the mention table; unmapped URIs fall back to
+    ``ontology_description``'s local-name shortening so every mention
+    keeps a usable description."""
+    look = F.broadcast(
+        ontology.select(F.col(uri_col).alias("_ont_uri"),
+                        F.col(label_col).alias("_ont_label")))
+    fallback = ontology_description("Mention", uri_col)
+    return (
+        mentions.join(look, mentions[uri_col] == look["_ont_uri"], "left")
+        .withColumn(out_col, F.coalesce(F.col("_ont_label"), fallback))
+        .drop("_ont_uri", "_ont_label")
+    )
 
 
 def normalize_text(text_col: str = "text") -> Column:

@@ -204,3 +204,36 @@ def test_extreme_hot_conversation(spark):
     # 1m tier: 60k turns over 1000 minutes -> 1000 buckets of 60
     m = out[(out.tier == "1m") & (out.metric == "turn_rate")]
     assert len(m) == 1000 and (m["cnt"] == 60).all()
+
+
+def test_ontology_describers(spark):
+    """OntologyMentionDescriber analogue: 'Class (Instance)' with URIs
+    shortened at the FIRST namespace separator; NULL class -> the
+    annotation type, NULL instance -> no parens; plus the label-table
+    variant riding a broadcast join with local-name fallback."""
+    df = spark.createDataFrame(
+        [("http://dbpedia.org/onto#City", "http://dbpedia.org/res#London"),
+         ("http://dbpedia.org/onto#City", None),
+         ("PlainClass", "PlainInst"),
+         (None, "http://x#ignored")],
+        "cls string, inst string")
+    got = [r["d"] for r in df.select(
+        TX.ontology_description("Entity", "cls", "inst").alias("d")).collect()]
+    assert got == ["City (London)", "City", "PlainClass (PlainInst)", "Entity"]
+    # full URIs when local_names_only=False
+    full = df.limit(1).select(TX.ontology_description(
+        "Entity", "cls", "inst", local_names_only=False).alias("d")).first()["d"]
+    assert full == ("http://dbpedia.org/onto#City "
+                    "(http://dbpedia.org/res#London)")
+    # label-table variant: mapped URIs take the ontology label, unmapped
+    # fall back to local-name shortening; the lookup side broadcasts
+    mentions = df.filter("cls IS NOT NULL") \
+        .withColumnRenamed("cls", "class")
+    onto = spark.createDataFrame(
+        [("http://dbpedia.org/onto#City", "Populated place")],
+        "class string, label string")
+    out = TX.describe_with_ontology(mentions, onto)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    descs = sorted(r["description"] for r in out.collect())
+    assert descs == ["PlainClass", "Populated place", "Populated place"]
