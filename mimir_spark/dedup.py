@@ -468,10 +468,15 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
     a driver-local tempdir — correct for local mode; pass a shared
     path on a real cluster). The returned frame reads the final spill
     lazily, so the scratch area must outlive consumption; callers who
-    pass ``scratch_dir`` own its lifecycle."""
+    pass ``scratch_dir`` own its lifecycle. Default (driver-local
+    tempdir) scratches are registered in ``_CC_SCRATCHES`` so
+    ``release_component_scratches()`` reclaims them once results are
+    consumed."""
     import tempfile
 
     scratch = scratch_dir or tempfile.mkdtemp(prefix="dup_components_")
+    if scratch_dir is None:
+        _CC_SCRATCHES.append(scratch)
     spark = pairs.sparkSession
 
     def spill(df: DataFrame, name: str) -> DataFrame:

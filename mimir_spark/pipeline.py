@@ -47,20 +47,49 @@ class CorpusConfig:
 
 
 def prepare_corpus(docs: DataFrame, config: CorpusConfig | None = None,
-                   id_col: str = "doc_id",
-                   text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+                   id_col: str = "doc_id", text_col: str = "text",
+                   materialize: bool = False,
+                   scratch_dir: str | None = None) -> tuple[DataFrame, DataFrame]:
     """Run the configured stages; returns (clean_docs, report).
 
     ``report`` is a one-row-per-stage DataFrame (stage, docs_kept)
     built as a union of count aggregates — genuinely lazy: no Spark
     job runs until ``report.collect()``, so a caller that only wants
-    ``clean_docs`` pays nothing for the report, and one that
-    materializes clean_docs first lets the stage counts reuse
-    whatever it staged.
+    ``clean_docs`` pays nothing for the report.
+
+    COST WARNING (default path): because each stage frame is lazy,
+    ``report.collect()`` re-executes the FULL upstream chain once per
+    stage — including the minhash-LSH and connected-components
+    shuffles for the post-neardup count. On a large corpus that is
+    O(stages) full pipeline runs. Pass ``materialize=True`` to stage
+    each frame to parquet once (the 100 TB shape — the same
+    staged-narrow pattern ``lineage.run_rollup_job`` uses); then both
+    the report counts and downstream consumption of ``clean_docs``
+    read the staged tables. ``scratch_dir`` must be reachable by every
+    executor (defaults to a driver-local tempdir — local mode only;
+    default scratches are registered for
+    ``dedup.release_component_scratches()``, and the returned frames
+    read the spill lazily, so reclaim only after consumption).
     """
     from functools import reduce
     cfg = config or CorpusConfig()
     spark = docs.sparkSession
+
+    if materialize:
+        import tempfile
+
+        scratch = scratch_dir or tempfile.mkdtemp(prefix="prepare_corpus_")
+        if scratch_dir is None:
+            dedup._CC_SCRATCHES.append(scratch)
+
+        def _stage(df: DataFrame, name: str) -> DataFrame:
+            path = f"{scratch}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+    else:
+        def _stage(df: DataFrame, name: str) -> DataFrame:
+            return df
+
     cur = docs
     stage_frames: list[tuple[str, DataFrame]] = [("input", cur)]
 
@@ -71,20 +100,32 @@ def prepare_corpus(docs: DataFrame, config: CorpusConfig | None = None,
                 & (TX.quality_score(text_col) >= cfg.min_quality))
         for extra in cfg.extra_filters:
             pred = pred & extra
-        cur = cur.filter(pred)
+        cur = _stage(cur.filter(pred), "quality")
         stage_frames.append(("quality", cur))
 
     if "language" in cfg.stages and cfg.languages:
-        cur = cur.filter(TX.lang_id(text_col).isin(list(cfg.languages)))
+        cur = _stage(
+            cur.filter(TX.lang_id(text_col).isin(list(cfg.languages))),
+            "language")
         stage_frames.append(("language", cur))
 
     if "exact" in cfg.stages:
+        # NULL text never fingerprints to a shared bucket: when the
+        # quality stage is disabled (or filtered out of cfg.stages),
+        # NULL-text docs reach this stage, and md5(NULL) = NULL would
+        # put them ALL in one window partition, silently dropping all
+        # but the min-id doc as "duplicates". A per-doc unique
+        # fallback key passes them through unchanged.
         w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+        fp = F.when(
+            F.col(text_col).isNotNull(), F.md5(TX.normalize_text(text_col))
+        ).otherwise(F.concat(F.lit("\x00null:"), F.col(id_col).cast("string")))
         cur = (
-            cur.withColumn("_fp", F.md5(TX.normalize_text(text_col)))
+            cur.withColumn("_fp", fp)
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1).drop("_fp", "_rk")
         )
+        cur = _stage(cur, "exact")
         stage_frames.append(("exact", cur))
 
     if "neardup" in cfg.stages:
@@ -92,7 +133,8 @@ def prepare_corpus(docs: DataFrame, config: CorpusConfig | None = None,
             cur, num_hashes=cfg.minhash_hashes, bands=cfg.minhash_tau_bands,
             id_col=id_col, text_col=text_col, n=cfg.shingle_n,
             max_df=cfg.max_df)
-        cur = dedup.dedup_keep_canonical(cur, pairs, id_col=id_col)
+        cur = _stage(dedup.dedup_keep_canonical(cur, pairs, id_col=id_col),
+                     "neardup")
         stage_frames.append(("neardup", cur))
 
     counts = [
@@ -101,7 +143,6 @@ def prepare_corpus(docs: DataFrame, config: CorpusConfig | None = None,
         for name, df in stage_frames
     ]
     report = reduce(lambda a, b: a.unionByName(b), counts)
-    _ = spark  # session handle kept for future staged-report variants
     return cur, report
 
 
