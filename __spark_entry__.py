@@ -59,9 +59,14 @@ def _cached_store(kind: str, source_file: str,
     a store built with the old config. Callers skip the build when the
     parquet _SUCCESS marker exists. Stale siblings of the same kind
     (old corpus or old params) are pruned on access so .cache stays
-    bounded as keys rotate."""
+    bounded as keys rotate — but ONLY completed siblings (those with
+    a _SUCCESS marker) past a grace period: a concurrent gate/bench
+    process keyed on different params may be mid-build (no _SUCCESS
+    yet) or lazily reading a just-built store, and rmtree'ing it from
+    under that process would fail its scan."""
     import hashlib as _h
     import shutil as _sh
+    import time as _t
 
     st = os.stat(source_file)
     # srctag scopes pruning to THIS source file: stores for other
@@ -72,9 +77,17 @@ def _cached_store(kind: str, source_file: str,
                  .encode()).hexdigest()[:12]
     cache = pathlib.Path(__file__).resolve().parent / ".cache"
     current = cache / f"{kind}_{srctag}_{key}"
+    grace_s = 3600.0  # any concurrent reader of a sibling is long done
     if cache.is_dir():
         for stale in cache.glob(f"{kind}_{srctag}_*"):
-            if stale != current:
+            if stale == current:
+                continue
+            marker = stale / "_SUCCESS"
+            try:
+                done_age = _t.time() - marker.stat().st_mtime
+            except OSError:
+                continue  # mid-build (or racing delete): never touch
+            if done_age > grace_s:
                 _sh.rmtree(stale, ignore_errors=True)
     return current
 
@@ -1354,17 +1367,33 @@ def q_ivf_ann_topk(spark, sf_dir):
                                         nprobe=_IVF_NPROBE)
 
 
-def _ivf_ann_oracle() -> str:
+#: Corpus the IVF oracle trains on. The driver's correctness gate runs
+#: at sf0.01 (tests/test_entry.py pins the same); override via the env
+#: var to verify the entry at another scale (tests/test_entry.py's
+#: sf0.1 twin does exactly that).
+_IVF_ORACLE_SF_DIR = os.environ.get("MIMIR_ORACLE_SF_DIR",
+                                    "/root/testdata/sf0.01")
+
+
+def _ivf_ann_oracle(sf_dir: str = _IVF_ORACLE_SF_DIR) -> str:
     """Replays the IVF pipeline: identical ivf_train centroids baked
     as DOUBLE[] literals, cell = 1-based argmax of the dot-product
     list (list_position = first match, same tie rule as numpy argmax
     and Spark array_position), probe list precomputed in numpy.
-    NOTE: trains on the sf0.01 table — the scale the driver's
-    correctness gate runs at (tests/test_entry.py pins the same)."""
-    sample, qvec = _ivf_sample_and_query(
-        "/root/testdata/sf0.01/embeddings.parquet")
+    Trains on ``sf_dir``'s embeddings (default: the gate's sf0.01;
+    parameterized so the entry verifies at any scale), with a
+    corpus-identity guard computed from the SAME file."""
+    import duckdb as _duck
+
+    path = f"{sf_dir}/embeddings.parquet"
+    sample, qvec = _ivf_sample_and_query(path)
     cent = similarity.ivf_train(sample, _IVF_CENTROIDS)
     probes = similarity.ivf_probe_cells(qvec, cent, _IVF_NPROBE)
+    con = _duck.connect()
+    n_rows, id_sum, e1_sum = con.sql(
+        f"SELECT count(*), sum(vec_id), sum(embedding[1]::DOUBLE) "
+        f"FROM read_parquet('{path}')").fetchone()
+    con.close()
     cents = ", ".join(
         "[" + ", ".join(repr(float(x)) for x in c) + "]::DOUBLE[] AS c" + str(i)
         for i, c in enumerate(cent))
@@ -1380,16 +1409,16 @@ assigned AS (
                   list_aggregate([{dots}], 'max')) AS cell
   FROM e CROSS JOIN cents c
 ),
--- pinned-scale guard: the centroid literals above were trained on the
--- sf0.01 table; if the gate's embeddings view is a DIFFERENT corpus
--- this yields 0 oracle rows (an obvious, diagnosable failure) instead
--- of a subtle value-hash diff from mismatched centroids.
+-- corpus-identity guard: the centroid literals above were trained on
+-- {sf_dir}; if the gate's embeddings view is a DIFFERENT corpus this
+-- yields 0 oracle rows (an obvious, diagnosable failure) instead of a
+-- subtle value-hash diff from mismatched centroids.
 chk AS (
-  SELECT count(*) = 500 AND sum(vec_id) = 124750
-         AND abs(sum(embedding[1]::DOUBLE) - 1.082355) < 0.01 AS sf001_ok
+  SELECT count(*) = {n_rows} AND sum(vec_id) = {id_sum}
+         AND abs(sum(embedding[1]::DOUBLE) - ({e1_sum!r})) < 0.01 AS corpus_ok
   FROM embeddings
 ),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0 AND (SELECT sf001_ok FROM chk))
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0 AND (SELECT corpus_ok FROM chk))
 SELECT a.vec_id,
   round(list_dot_product(a.v, q.qv)
         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
@@ -1928,11 +1957,12 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _multimodal_oracle(),
         "multimodal_real_features": _multimodal_real_oracle(),
     }
-    # the IVF oracle trains on the pinned sf0.01 table (the scale the
-    # driver's correctness gate runs at); on a host without that file
-    # the entry degrades to the driver's rows-only check instead of
-    # breaking the whole oracle map. ONLY the missing file is
-    # tolerated — any error inside the oracle builder propagates.
-    if os.path.exists("/root/testdata/sf0.01/embeddings.parquet"):
+    # the IVF oracle trains on _IVF_ORACLE_SF_DIR's embeddings (the
+    # gate's sf0.01 by default; MIMIR_ORACLE_SF_DIR overrides for
+    # other-scale verification); on a host without that file the entry
+    # degrades to the driver's rows-only check instead of breaking the
+    # whole oracle map. ONLY the missing file is tolerated — any error
+    # inside the oracle builder propagates.
+    if os.path.exists(f"{_IVF_ORACLE_SF_DIR}/embeddings.parquet"):
         oracles["ivf_ann_topk"] = _ivf_ann_oracle()
     return oracles

@@ -142,3 +142,21 @@ def test_ivf_spark_and_duckdb_samples_agree(spark):
     s_duck, q_duck = entry_mod._ivf_sample_and_query(path)
     assert np.array_equal(s_spark, s_duck)
     assert q_spark == q_duck
+
+
+def test_ivf_oracle_follows_sf_dir(spark):
+    """The IVF oracle is parameterized by corpus (round-4 verdict #8):
+    trained and guarded on whatever sf_dir it's given, so the entry
+    verifies at sf0.1 exactly as at the gate's sf0.01."""
+    sf = "/root/testdata/sf0.1"
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    got = _canon(entry_mod.q_ivf_ann_topk(spark, sf).toPandas())
+    want = _canon(c.sql(entry_mod._ivf_ann_oracle(sf)).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) == 10
+    a = got["cosine"].to_numpy(np.float64)
+    b = want["cosine"].to_numpy(np.float64)
+    assert bool(np.all(a == b))
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
