@@ -80,6 +80,12 @@ HEADLINE = [
     "ann_topk_cosine",
     "cosine_dup_pairs_lsh",
     "simhash_pairs",
+    # query-algebra surface (round-4 verdict #5): the parsed
+    # query-string entry point and the positional-containment joins —
+    # the reference's primary API, previously un-benched
+    "parsed_seq_query",
+    "within_query",
+    "contains_query",
 ]
 
 
@@ -154,6 +160,33 @@ def _ensure_corpus(spark) -> str:
     else:
         note(f"reusing cached scaling corpus {out}")
     return str(out)
+
+
+def _ensure_readpath_store(spark):
+    """Tiered store rolled up from the bench transcript corpus via the
+    resumable job path, built once and cached — the timed bench row
+    reads it (`read_path.series_points`), mirroring the 100 TB split:
+    the store build is the nightly job, the read is the dashboard
+    query. run_rollup_job is itself resumable, so a half-built cache
+    (crash mid-build) resumes instead of restarting."""
+    from mimir_spark.lineage import TieredStore, run_rollup_job
+
+    out = CACHE / f"readpath_store_{BENCH_CONVS}"
+    store = TieredStore(out)
+    marker = out / "_BENCH_DONE"
+    if not marker.exists():
+        note(f"building read-path store -> {out}")
+        corpus = _ensure_corpus(spark)
+
+        def source():
+            return spark.read.parquet(corpus)
+
+        run_rollup_job(spark, source, store, "bench-readpath",
+                       num_partitions=8)
+        marker.write_text("ok")
+    else:
+        note(f"reusing cached read-path store {out}")
+    return store
 
 
 def _events_warmup(spark):
@@ -298,9 +331,31 @@ def main() -> int:
             pairs = dedup.jaccard_pairs(docs, 0.4, max_df=1000)
             return dedup.dedup_keep_canonical(docs, pairs)
 
-        for name, fn in [("lttb_downsample_events", _x_lttb),
-                         ("pack_sequences_docs", _x_pack),
-                         ("dedup_cluster_keep", _x_cluster)]:
+        # read path (round-4 verdict #5): the store build is the
+        # cached nightly job (untimed after first run); the timed row
+        # below is the dashboard read — 3-level-pruned slice decode
+        try:
+            rp_store = _ensure_readpath_store(spark)
+        except Exception as e:
+            note(f"read-path store build FAILED: {e}")
+            rp_store = None
+
+        def _x_readpath(sp, sf):
+            from mimir_spark.read_path import series_points
+
+            # one tool's 1m series for one day out of the corpus's
+            # ~8-day span: bucket_date dir pruning + row-group stats
+            # + in-chunk trim, the documented 3-level read path
+            return series_points(sp, rp_store, "1m", kind="tool",
+                                 series_key="bash",
+                                 t0="2026-01-07", t1="2026-01-08")
+
+        extras = [("lttb_downsample_events", _x_lttb),
+                  ("pack_sequences_docs", _x_pack),
+                  ("dedup_cluster_keep", _x_cluster)]
+        if rp_store is not None:
+            extras.append(("read_path_series_points", _x_readpath))
+        for name, fn in extras:
             t0 = time.monotonic()
             try:
                 _with_watchdog(spark, lambda: _materialize(fn(spark, SF_DIR)),
