@@ -61,6 +61,58 @@ def test_pipeline_exact_and_neardup(spark):
     assert counts["exact"] == 3
 
 
+def test_null_text_survives_exact_stage(spark):
+    """With the quality stage disabled, NULL-text docs reach the exact
+    stage; they must pass through unchanged — md5(NULL)=NULL used to
+    put them ALL in one fingerprint partition and silently drop all
+    but the min-id doc as 'duplicates' (round-4 advice)."""
+    rows = [(1, "same text here ok"), (2, "same text here ok"),
+            (3, None), (4, None), (5, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    clean, _ = prepare_corpus(docs, CorpusConfig(stages=("exact",)))
+    kept = sorted(r["doc_id"] for r in clean.collect())
+    assert kept == [1, 3, 4, 5]  # real dup deduped, NULLs all kept
+
+
+def test_prepare_corpus_materialize_equals_lazy(spark, docs, tmp_path):
+    """materialize=True stages each frame to parquet once (the
+    O(stages)-rescan fix); results and report counts are identical to
+    the lazy path, and the staged tables actually exist on disk."""
+    cfg = CorpusConfig(max_df=200)
+    lazy_clean, lazy_report = prepare_corpus(docs, cfg)
+    mat_clean, mat_report = prepare_corpus(
+        docs, cfg, materialize=True, scratch_dir=str(tmp_path / "stage"))
+    lazy_counts = {r["stage"]: r["docs_kept"] for r in lazy_report.collect()}
+    mat_counts = {r["stage"]: r["docs_kept"] for r in mat_report.collect()}
+    assert mat_counts == lazy_counts
+    assert sorted(r["doc_id"] for r in mat_clean.collect()) == \
+        sorted(r["doc_id"] for r in lazy_clean.collect())
+    staged = {p.name for p in (tmp_path / "stage").iterdir()}
+    assert {"quality", "exact", "neardup"} <= staged
+
+
+def test_default_scratches_are_reclaimable(spark):
+    """dup_components' default mkdtemp scratch registers for
+    release_component_scratches(); after consuming the result the
+    release actually removes the directory (round-4 advice: it used
+    to always return 0 and leak)."""
+    import os
+
+    from mimir_spark import dedup
+
+    dedup.release_component_scratches()  # drain any prior state
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    comp = dedup.dup_components(pairs)
+    got = {(r["node"], r["component"]) for r in comp.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    scratches = list(dedup._CC_SCRATCHES)
+    assert len(scratches) == 1 and os.path.isdir(scratches[0])
+    assert dedup.release_component_scratches() == 1
+    assert not os.path.exists(scratches[0])
+    assert dedup._CC_SCRATCHES == []
+
+
 def test_corpus_stats(spark, docs):
     row = corpus_stats(docs).first()
     assert row["n_docs"] == docs.count()
