@@ -37,12 +37,18 @@ _SERIES = ["kind", "series_key", "metric"]
 _GRID_CHUNK = 4096
 
 
-def _grid(df: DataFrame, tier: str) -> DataFrame:
+def _step_us(tier) -> int:
+    """Bucket width in microseconds: a named tier ('1m'/'1h'/'1d') or
+    an explicit microsecond width (query_range's arbitrary steps)."""
+    return TIER_US[tier] if isinstance(tier, str) else int(tier)
+
+
+def _grid(df: DataFrame, tier) -> DataFrame:
     """One row per (series, bucket) for every tier bucket between each
     series' min and max observed bucket. Two-level chunked expansion —
     see _GRID_CHUNK; both explodes stay partitioned by series, so the
     100 TB shape (one shuffle per series group) is unchanged."""
-    unit_s = TIER_US[tier] // 1_000_000
+    unit_s = _step_us(tier) // 1_000_000
     step = F.expr(f"INTERVAL {unit_s} SECONDS")
     chunk_step = F.expr(f"INTERVAL {unit_s * _GRID_CHUNK} SECONDS")
     last_in_chunk = F.expr(
@@ -66,13 +72,15 @@ def _grid(df: DataFrame, tier: str) -> DataFrame:
     )
 
 
-def gapfill(rollup_df: DataFrame, tier: str, value_col: str = "sum_v",
+def gapfill(rollup_df: DataFrame, tier, value_col: str = "sum_v",
             method: str = "locf") -> DataFrame:
     """Fill missing tier buckets per series.
 
-    Returns (series, bucket_ts, <value_col>, filled) where ``filled``
-    marks synthesized buckets. LOCF leaves leading gaps null; linear
-    leaves leading/trailing gaps null (bounded by real neighbors).
+    ``tier`` is a named tier or an explicit bucket width in
+    microseconds (the query_range step path). Returns (series,
+    bucket_ts, <value_col>, filled) where ``filled`` marks synthesized
+    buckets. LOCF leaves leading gaps null; linear leaves
+    leading/trailing gaps null (bounded by real neighbors).
     """
     if method not in ("locf", "linear"):
         raise ValueError(f"unknown gapfill method {method!r}")
@@ -120,7 +128,7 @@ def missing_buckets(rollup_df: DataFrame, tier: str) -> DataFrame:
     missing = grid.join(
         rollup_df.select(*_SERIES, "bucket_ts"),
         _SERIES + ["bucket_ts"], "left_anti")
-    unit_s = TIER_US[tier] // 1_000_000
+    unit_s = _step_us(tier) // 1_000_000
     w = Window.partitionBy(*_SERIES).orderBy("bucket_ts")
     # run id: bucket index minus rank is constant within a consecutive run
     idx = (F.unix_timestamp("bucket_ts") / F.lit(unit_s)).cast("long")
