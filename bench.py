@@ -350,11 +350,21 @@ def main() -> int:
                                  series_key="bash",
                                  t0="2026-01-07", t1="2026-01-08")
 
+        def _x_query_range(sp, sf):
+            from mimir_spark.read_path import query_range
+
+            # continuous-aggregate serving: a 2h-step range query for
+            # every tool series, answered from the 1h tier with no
+            # chunk decode and no Python (PLANS.md round-5 audit)
+            return query_range(sp, rp_store, "token_volume", agg="avg",
+                               step="2h", kind="tool", fill="locf")
+
         extras = [("lttb_downsample_events", _x_lttb),
                   ("pack_sequences_docs", _x_pack),
                   ("dedup_cluster_keep", _x_cluster)]
         if rp_store is not None:
             extras.append(("read_path_series_points", _x_readpath))
+            extras.append(("query_range_2h_avg", _x_query_range))
         for name, fn in extras:
             t0 = time.monotonic()
             try:
