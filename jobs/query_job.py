@@ -1,0 +1,86 @@
+"""spark-submit entry point for querying a tier store.
+
+The read-side companion of rollup_job.py / compact_job.py: point it at
+a store and get either raw decoded points (series_points — the
+chunk-decode path) or a continuous-aggregate range query (query_range
+— served entirely from stored tier aggregates, no decode). Results
+print as a table or write to parquet.
+
+Usage:
+    # PromQL-style range query, auto tier selection (2h -> 1h tier)
+    python jobs/query_job.py --store /tmp/vstore range \
+        --metric token_volume --agg avg --step 2h --kind conv \
+        --t0 2026-01-06 --t1 2026-01-08 --fill locf
+
+    # raw points for one series slice (decodes chunks)
+    python jobs/query_job.py --store /tmp/vstore points \
+        --tier 1m --kind tool --series-key bash --t0 2026-01-07
+
+    # write to parquet instead of showing
+    ... range --metric turn_rate --agg sum --step 1d --out /tmp/result
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True, help="tier store root")
+    ap.add_argument("--cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    rng = sub.add_parser("range", help="aggregate range query (no decode)")
+    rng.add_argument("--metric", required=True)
+    rng.add_argument("--agg", default="avg",
+                     choices=["sum", "count", "min", "max", "last", "avg"])
+    rng.add_argument("--step", default="1h")
+    rng.add_argument("--tier", default=None,
+                     help="force a tier (default: coarsest divisor of step)")
+    rng.add_argument("--fill", default=None, choices=["locf", "linear"])
+
+    pts = sub.add_parser("points", help="raw decoded points")
+    pts.add_argument("--tier", default="1m")
+    pts.add_argument("--metric", default=None)
+
+    for p in (rng, pts):
+        p.add_argument("--kind", default=None)
+        p.add_argument("--series-key", default=None)
+        p.add_argument("--t0", default=None)
+        p.add_argument("--t1", default=None)
+        p.add_argument("--out", default=None, help="parquet output path")
+        p.add_argument("--show", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    from mimir_spark.lineage import tiered_store
+    from mimir_spark.read_path import query_range, series_points
+    from mimir_spark.session import get_spark
+
+    spark = get_spark("query-job", cpus=args.cpus)
+    store = tiered_store(args.store, spark)
+    if args.mode == "range":
+        df = query_range(spark, store, args.metric, agg=args.agg,
+                         step=args.step, t0=args.t0, t1=args.t1,
+                         kind=args.kind, series_key=args.series_key,
+                         fill=args.fill, tier=args.tier)
+    else:
+        df = series_points(spark, store, args.tier, kind=args.kind,
+                           series_key=args.series_key, metric=args.metric,
+                           t0=args.t0, t1=args.t1)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {spark.read.parquet(args.out).count()} rows -> {args.out}")
+    else:
+        df.orderBy("kind", "series_key", "metric",
+                   df.columns[3]).show(args.show, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

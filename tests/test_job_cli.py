@@ -1,0 +1,57 @@
+"""The query-side CLI (jobs/query_job.py) drives the same code paths
+as the library API — in-process (get_spark getOrCreate's the test
+session), both modes, parquet output checked against the direct call."""
+
+from __future__ import annotations
+
+import sys
+
+import pandas as pd
+import pytest
+
+from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
+from mimir_spark.lineage import TieredStore, run_rollup_job
+from mimir_spark.read_path import query_range, series_points
+
+sys.path.insert(0, "/root/repo/jobs")
+import query_job  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def store(spark, t_small_df, tmp_path_factory):
+    d = tmp_path_factory.mktemp("qcli") / "store"
+    s = TieredStore(d)
+    run_rollup_job(spark, lambda: t_small_df, s, "qcli", num_partitions=2)
+    return s
+
+
+def _canon(pdf):
+    cols = list(pdf.columns)
+    return pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+
+
+def test_cli_range_equals_api(spark, store, tmp_path):
+    out = str(tmp_path / "range_out")
+    rc = query_job.main([
+        "--store", str(store.root), "range", "--metric", "token_volume",
+        "--agg", "sum", "--step", "2h", "--kind", "conv",
+        "--fill", "locf", "--out", out])
+    assert rc == 0
+    got = _canon(spark.read.parquet(out).toPandas())
+    want = _canon(query_range(spark, store, "token_volume", agg="sum",
+                              step="2h", kind="conv", fill="locf").toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+
+
+def test_cli_points_equals_api(spark, store, tmp_path):
+    out = str(tmp_path / "points_out")
+    rc = query_job.main([
+        "--store", str(store.root), "points", "--tier", "1m",
+        "--kind", "conv", "--metric", "turn_rate", "--out", out])
+    assert rc == 0
+    got = _canon(spark.read.parquet(out).toPandas())
+    want = _canon(series_points(spark, store, "1m", kind="conv",
+                                metric="turn_rate").toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
