@@ -92,6 +92,32 @@ def _cached_store(kind: str, source_file: str,
     return current
 
 
+def _atomic_build(store, build) -> None:
+    """Build a cache store exactly once even under CONCURRENT
+    processes: each writer builds into a private tmp sibling and
+    atomically renames it into place; the loser of a race discards
+    its copy and reads the winner's. The previous check-then-write
+    pattern let two processes that both saw no _SUCCESS (observed:
+    the gate and a pytest oracle sweep running together) interleave
+    mode("overwrite") output into ONE directory — two write-job
+    UUIDs, duplicated rows."""
+    import shutil as _sh
+
+    if (store / "_SUCCESS").exists():
+        return
+    tmp = store.parent / f"{store.name}.build-{os.getpid()}"
+    _sh.rmtree(tmp, ignore_errors=True)
+    build(str(tmp))
+    if store.exists() and not (store / "_SUCCESS").exists():
+        # crash artifact from the pre-atomic era (a promoted store
+        # always contains _SUCCESS: Spark writes it before the rename)
+        _sh.rmtree(store, ignore_errors=True)
+    try:
+        tmp.rename(store)
+    except OSError:  # a racer promoted a complete store first — use it
+        _sh.rmtree(tmp, ignore_errors=True)
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -698,8 +724,8 @@ def q_terms_topk_indexed(spark, sf_dir):
     from mimir_spark.sources import token_index as TI
 
     store = _cached_store("termdoc", f"{sf_dir}/documents.parquet")
-    if not (store / "_SUCCESS").exists():
-        TI.write_term_doc_index(_docs(spark, sf_dir), str(store))
+    _atomic_build(store,
+                  lambda p: TI.write_term_doc_index(_docs(spark, sf_dir), p))
     counts = TI.term_counts_indexed(spark, str(store))
     return TERMS.limit_terms(TERMS.sorted_terms(counts), 20)
 
@@ -1273,9 +1299,8 @@ def q_lsh_ann_topk_bucketed(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qvec = [float(x)
             for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    if not (store / "_SUCCESS").exists():
-        similarity.write_embeddings_bucketed(emb, str(store), n_planes=8,
-                                             dim=len(qvec))
+    _atomic_build(store, lambda p: similarity.write_embeddings_bucketed(
+        emb, p, n_planes=8, dim=len(qvec)))
     return similarity.lsh_topk_bucketed(spark, str(store), qvec, 10,
                                         n_planes=8, probe_hamming=3)
 
@@ -1361,8 +1386,8 @@ def q_ivf_ann_topk(spark, sf_dir):
     cent = similarity.ivf_train(sample, _IVF_CENTROIDS)
     store = _cached_store("emb_ivf", f"{sf_dir}/embeddings.parquet",
                           params=f"k={_IVF_CENTROIDS},m={_IVF_SAMPLE}")
-    if not (store / "_SUCCESS").exists():
-        similarity.write_embeddings_ivf(_emb(spark, sf_dir), str(store), cent)
+    _atomic_build(store, lambda p: similarity.write_embeddings_ivf(
+        _emb(spark, sf_dir), p, cent))
     return similarity.ivf_topk_bucketed(spark, str(store), qvec, 10, cent,
                                         nprobe=_IVF_NPROBE)
 
@@ -1446,8 +1471,7 @@ def q_indexed_term_query(spark, sf_dir):
 
     t = ingest(spark.read.parquet(_TRANSCRIPT_FIXTURE))
     store = _cached_store("tindex", _TRANSCRIPT_FIXTURE)
-    if not (store / "_SUCCESS").exists():
-        TI.write_token_index(t, str(store))
+    _atomic_build(store, lambda p: TI.write_token_index(t, p))
     res = TI.indexed_term_resolver(spark, str(store))
     return run_query("taverpe IN {Document n_tool_turns >= 8}", t,
                      term_index=res)

@@ -114,7 +114,11 @@ def write_embeddings_bucketed(embeddings: DataFrame, path: str,
     if dim is None:  # driver-side probe only when the caller cannot say
         dim = len(embeddings.select(vec_col).first()[0])
     sigs = hyperplane_signature(embeddings, n_planes, dim, seed, id_col, vec_col)
-    sigs.write.mode("overwrite").partitionBy("bucket").parquet(str(path))
+    # one file per bucket partition (repartition on the partition
+    # column), not one per upstream task — same store-layout
+    # discipline as lineage._cluster_for_store
+    sigs.repartition("bucket").write.mode("overwrite") \
+        .partitionBy("bucket").parquet(str(path))
 
 
 def lsh_topk_bucketed(spark, path: str, query_vec: list[float], k: int,
@@ -201,6 +205,7 @@ def write_embeddings_multi_lsh(embeddings: DataFrame, path: str,
                        F.explode(F.array(*entries)).alias("e"))
      .select("vec_id", "v", F.col("e.tbl").alias("tbl"),
              F.col("e.bucket").alias("bucket"))
+     .repartition("tbl", "bucket")  # one file per partition leaf
      .write.mode("overwrite").partitionBy("tbl", "bucket")
      .parquet(str(path)))
 
@@ -280,7 +285,8 @@ def write_embeddings_ivf(embeddings: DataFrame, path: str,
         F.col(vec_col).cast("array<double>").alias("v"),
         ivf_cell_col(F.col(vec_col), centroids).alias("cell"),
     )
-    out.write.mode("overwrite").partitionBy("cell").parquet(str(path))
+    out.repartition("cell").write.mode("overwrite") \
+        .partitionBy("cell").parquet(str(path))  # one file per cell
 
 
 def ivf_probe_cells(query_vec: list[float], centroids: np.ndarray,

@@ -160,3 +160,46 @@ def test_ivf_oracle_follows_sf_dir(spark):
     b = want["cosine"].to_numpy(np.float64)
     assert bool(np.all(a == b))
     assert got["vec_id"].tolist() == want["vec_id"].tolist()
+
+
+def test_atomic_build_race_semantics(tmp_path):
+    """_atomic_build promotes exactly one complete store under
+    concurrency: a second builder is a no-op, and a builder that
+    loses the promotion race discards its copy instead of
+    interleaving files into the winner's directory (the observed
+    two-write-UUID corruption)."""
+    import pathlib
+
+    store = pathlib.Path(tmp_path) / "kind_src_key"
+
+    calls = []
+
+    def build(p):
+        calls.append(p)
+        d = pathlib.Path(p)
+        d.mkdir()
+        (d / "part-0.parquet").write_text("A")
+        (d / "_SUCCESS").write_text("")
+
+    entry_mod._atomic_build(store, build)
+    assert (store / "_SUCCESS").exists() and len(calls) == 1
+    entry_mod._atomic_build(store, build)       # cached: no rebuild
+    assert len(calls) == 1
+
+    # losing the race: a competing process promotes while we build
+    store2 = pathlib.Path(tmp_path) / "other_key"
+
+    def build_racer(p):
+        d = pathlib.Path(p)
+        d.mkdir()
+        (d / "part-0.parquet").write_text("LOSER")
+        (d / "_SUCCESS").write_text("")
+        store2.mkdir()                          # the racer wins here
+        (store2 / "part-0.parquet").write_text("WINNER")
+        (store2 / "_SUCCESS").write_text("")
+
+    entry_mod._atomic_build(store2, build_racer)
+    assert (store2 / "part-0.parquet").read_text() == "WINNER"
+    assert [p.name for p in store2.iterdir()] and \
+        len(list(store2.glob("part-*"))) == 1   # no interleaved files
+    assert not list(pathlib.Path(tmp_path).glob("*.build-*"))  # tmp gone
