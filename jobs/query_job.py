@@ -44,11 +44,18 @@ def main(argv=None) -> int:
                      help="force a tier (default: coarsest divisor of step)")
     rng.add_argument("--fill", default=None, choices=["locf", "linear"])
 
+    rate = sub.add_parser("rate", help="reset-aware counter increase/rate "
+                                       "per step (decodes the pruned slice)")
+    rate.add_argument("--metric", required=True)
+    rate.add_argument("--step", default="1h")
+    rate.add_argument("--tier", default="1m")
+    rate.add_argument("--per-second", action="store_true")
+
     pts = sub.add_parser("points", help="raw decoded points")
     pts.add_argument("--tier", default="1m")
     pts.add_argument("--metric", default=None)
 
-    for p in (rng, pts):
+    for p in (rng, rate, pts):
         p.add_argument("--kind", default=None)
         p.add_argument("--series-key", default=None)
         p.add_argument("--t0", default=None)
@@ -59,7 +66,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from mimir_spark.lineage import tiered_store
-    from mimir_spark.read_path import query_range, series_points
+    from mimir_spark.read_path import (query_range, query_range_rate,
+                                       series_points)
     from mimir_spark.session import get_spark
 
     spark = get_spark("query-job", cpus=args.cpus)
@@ -69,6 +77,11 @@ def main(argv=None) -> int:
                          step=args.step, t0=args.t0, t1=args.t1,
                          kind=args.kind, series_key=args.series_key,
                          fill=args.fill, tier=args.tier)
+    elif args.mode == "rate":
+        df = query_range_rate(spark, store, args.metric, step=args.step,
+                              t0=args.t0, t1=args.t1, kind=args.kind,
+                              series_key=args.series_key, tier=args.tier,
+                              per_second=args.per_second)
     else:
         df = series_points(spark, store, args.tier, kind=args.kind,
                            series_key=args.series_key, metric=args.metric,

@@ -219,3 +219,43 @@ def query_range(spark: SparkSession, store, metric: str,
     if t1 is not None:
         out = out.filter(F.col("bucket_ts") < F.lit(t1).cast("timestamp"))
     return out
+
+
+def query_range_rate(spark: SparkSession, store, metric: str,
+                     step: str = "1h", t0: str | None = None,
+                     t1: str | None = None, kind: str | None = None,
+                     series_key: str | None = None, tier: str = "1m",
+                     per_second: bool = False) -> DataFrame:
+    """Reset-aware counter ``increase`` (or per-second ``rate``) per
+    step bucket — the PromQL counter verbs over the tier store.
+
+    Unlike ``query_range`` this CANNOT be served from the stored
+    partial aggregates (a counter reset inside a bucket is invisible
+    to sum/min/max/last), but it does not need to be approximate
+    either: the chunks store EVERY raw sample, so the pruned slice
+    decodes (``series_points``) and the standard reset rule
+    (functions.timeseries.with_increase — a drop is a restart, the
+    post-reset value counts fully) runs exactly, one window per
+    series, then one hash aggregate onto epoch-aligned step buckets.
+
+    Boundary semantics match PromQL's lookbehind gap: the first
+    decoded sample at the range edge has no previous sample in range
+    and contributes NULL increase (pass an earlier ``t0`` to absorb
+    the edge). Returns (kind, series_key, metric, bucket_ts, value,
+    n_samples) where value = summed increase, divided by the step
+    seconds when ``per_second``."""
+    from .functions import timeseries as TS
+
+    step_us = parse_step(step)
+    pts = series_points(spark, store, tier, kind, series_key, metric, t0, t1)
+    inc = TS.with_increase(pts)
+    bucket = F.window("ts", f"{step_us // 1_000_000} seconds")
+    value = F.sum("increase")
+    if per_second:
+        value = value / F.lit(step_us / 1_000_000.0)
+    return (
+        inc.groupBy("kind", "series_key", "metric", bucket.alias("_w"))
+        .agg(value.alias("value"), F.count("*").alias("n_samples"))
+        .select("kind", "series_key", "metric",
+                F.col("_w.start").alias("bucket_ts"), "value", "n_samples")
+    )

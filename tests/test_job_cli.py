@@ -55,3 +55,18 @@ def test_cli_points_equals_api(spark, store, tmp_path):
                                 metric="turn_rate").toPandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0
+
+
+def test_cli_rate_equals_api(spark, store, tmp_path):
+    from mimir_spark.read_path import query_range_rate
+
+    out = str(tmp_path / "rate_out")
+    rc = query_job.main([
+        "--store", str(store.root), "rate", "--metric", "token_volume",
+        "--step", "2h", "--kind", "conv", "--per-second", "--out", out])
+    assert rc == 0
+    got = _canon(spark.read.parquet(out).toPandas())
+    want = _canon(query_range_rate(spark, store, "token_volume", step="2h",
+                                   kind="conv", per_second=True).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0

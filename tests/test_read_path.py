@@ -173,3 +173,63 @@ def test_query_range_fill_locf(spark, store, t_small_df):
     if df["filled"].any():
         i = df.index[df["filled"]][0]
         assert i > 0 and df.loc[i, "value"] == df.loc[i - 1, "value"]
+
+
+def test_query_range_rate_matches_pandas_oracle(spark, t_small_df, store):
+    """Counter increase per 2h step served from the store equals the
+    pandas reset-rule oracle computed on the raw points — exact, not
+    tier-approximated, because chunks store every sample."""
+    import numpy as np
+
+    from mimir_spark.read_path import query_range_rate
+
+    pts = turn_metrics(ingest(t_small_df)).toPandas()
+    sub = pts[(pts.kind == "conv") & (pts.metric == "token_volume")].copy()
+    sub = sub.sort_values(["series_key", "ts"], kind="mergesort")
+    prev = sub.groupby("series_key")["v"].shift()
+    inc = np.where(prev.isna(), np.nan,
+                   np.where(sub["v"] >= prev, sub["v"] - prev, sub["v"]))
+    sub["inc"] = inc
+    sub["bucket_ts"] = sub["ts"].dt.floor("2h")
+    want = sub.groupby(["series_key", "bucket_ts"])["inc"].sum(min_count=1)
+
+    got_df = query_range_rate(spark, store, "token_volume", step="2h",
+                              kind="conv").toPandas()
+    got = got_df.set_index(["series_key", "bucket_ts"])["value"].sort_index()
+    want = want.sort_index()
+    assert len(got) == len(want) > 0
+    a, b = got.to_numpy(np.float64), want.to_numpy(np.float64)
+    mask = ~np.isnan(b)
+    assert np.allclose(a[mask], b[mask])
+    assert np.isnan(a).sum() == np.isnan(b).sum()
+    # per_second divides by the step width
+    ps = query_range_rate(spark, store, "token_volume", step="2h",
+                          kind="conv", per_second=True).toPandas() \
+        .set_index(["series_key", "bucket_ts"])["value"].sort_index()
+    assert np.allclose(ps.to_numpy(np.float64)[mask], a[mask] / 7200.0)
+
+
+def test_query_range_rate_reset_handling(spark, tmp_path):
+    """A counter that resets mid-bucket: the post-reset value counts
+    fully (increase = v), matching the monitoring-engine rule."""
+    import pandas as pd
+
+    from mimir_spark.lineage import TieredStore
+    from mimir_spark.read_path import query_range_rate
+    from mimir_spark.rollup import rollup_points
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    vals = [(0, 10.0), (10, 25.0), (20, 3.0), (30, 8.0)]  # reset at :20
+    rows = [("ctr", "s", "reqs", base + pd.Timedelta(minutes=m), v, "c", 0)
+            for m, v in vals]
+    pts = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["kind", "series_key", "metric", "ts", "v",
+                       "conv_id", "turn_idx"]))
+    store = TieredStore(tmp_path / "ctr_store")
+    store.write_partition(rollup_points(pts, tiers=("1m",))
+                          .filter("tier = '1m'"), "1m", 0)
+    out = query_range_rate(spark, store, "reqs", step="1h",
+                           kind="ctr").collect()
+    assert len(out) == 1
+    # increases: NULL, 15, 3 (reset: full value), 5 -> 23
+    assert out[0]["value"] == 23.0 and out[0]["n_samples"] == 4
