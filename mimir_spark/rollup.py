@@ -525,11 +525,31 @@ def cascade_distinct_sketch(sketch_df: DataFrame, to_tier: str) -> DataFrame:
     is exact over the sketch state (same registers either way)."""
     bucket = F.date_trunc(TIER_TRUNC[to_tier],
                           F.col("bucket_ts")).alias("bucket_ts")
+    return _union_sketches(sketch_df, bucket, F.lit(to_tier))
+
+
+def distinct_sketch_over_step(sketch_df: DataFrame,
+                              step_seconds: int) -> DataFrame:
+    """Distinct counts over ARBITRARY step buckets from a stored
+    sketch tier — the query_range analogue for the non-additive
+    aggregate: a 2h dashboard step unions the 1h tier's sketches
+    (epoch-aligned ``window()`` buckets, same origin as the tiers'
+    date_trunc) instead of re-reading raw data. Exact over the sketch
+    state, so the estimate equals what rolling up raw points at the
+    step granularity would give. The step must be a multiple of the
+    sketch tier's bucket width (the caller picks the tier —
+    read_path.select_tier implements the coarsest-divisor rule)."""
+    bucket = F.window("bucket_ts", f"{step_seconds} seconds") \
+        .getField("start").alias("bucket_ts")
+    return _union_sketches(sketch_df, bucket, F.lit(f"{step_seconds}s"))
+
+
+def _union_sketches(sketch_df: DataFrame, bucket, tier_lit) -> DataFrame:
     return (
         sketch_df.groupBy(*_SERIES_COLS, bucket)
         .agg(F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
              F.sum("cnt").alias("cnt"))
-        .withColumn("tier", F.lit(to_tier))
+        .withColumn("tier", tier_lit)
         .withColumn("n_distinct",
                     F.hll_sketch_estimate("distinct_sketch").cast("long"))
         .select("tier", *_SERIES_COLS, "bucket_ts", "cnt", "n_distinct",

@@ -242,3 +242,30 @@ def test_distinct_sketch_rollup_and_cascade(spark, t_small_df):
         .agg(F.count_distinct("conv_id").alias("nd")).toPandas() \
         .sort_values(key).reset_index(drop=True)
     assert (a["n_distinct"].to_numpy() == exact["nd"].to_numpy()).all()
+
+
+def test_distinct_sketch_over_arbitrary_step(spark, t_small_df):
+    """Union onto a 2h step from the 1h sketch tier == direct 2h
+    computation from raw points (register-exact), and estimates stay
+    exact at fixture cardinalities."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.rollup import (distinct_sketch_over_step,
+                                    rollup_distinct_sketch)
+
+    points = turn_metrics(ingest(t_small_df)).filter(F.col("kind") == "tool")
+    hourly = rollup_distinct_sketch(points, "1h")
+    stepped = distinct_sketch_over_step(hourly, 7200)
+
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    got = stepped.select(*key, "cnt", "n_distinct").toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    exact = points.groupBy(
+        "kind", "series_key", "metric",
+        F.window("ts", "7200 seconds").getField("start").alias("bucket_ts")) \
+        .agg(F.count("*").alias("cnt"),
+             F.count_distinct("conv_id").alias("nd")).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exact) > 0
+    assert (got["cnt"].to_numpy() == exact["cnt"].to_numpy()).all()
+    assert (got["n_distinct"].to_numpy() == exact["nd"].to_numpy()).all()
