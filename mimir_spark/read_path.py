@@ -20,12 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import codec
-from .rollup import POINTS_SCHEMA, TIER_US
+from .rollup import TIER_US
+
+
+_POINTS_US_SCHEMA = ("kind string, series_key string, metric string, "
+                     "ts_us long, v double")
 
 
 def decode_points(rollup_df: DataFrame) -> DataFrame:
     """Decode every chunk of a rollup frame back to (series, ts, v)
-    rows — one vectorized pass, chunks never leave their partition."""
+    rows — one vectorized pass, chunks never leave their partition.
+
+    The UDF emits epoch MICROSECONDS and the timestamp materializes
+    via timestamp_micros on the JVM side: handing Arrow a naive
+    datetime64 column would make it an instant in the SESSION
+    timezone, silently shifting every decoded point under a non-UTC
+    session (the codec's values are UTC wall clock by the engine's
+    time contract)."""
 
     def decode(iterator):
         for pdf in iterator:
@@ -47,12 +58,45 @@ def decode_points(rollup_df: DataFrame) -> DataFrame:
                 "kind": np.concatenate(out_kind),
                 "series_key": np.concatenate(out_key),
                 "metric": np.concatenate(out_metric),
-                "ts": np.concatenate(out_ts).astype("datetime64[us]"),
+                "ts_us": np.concatenate(out_ts).astype(np.int64),
                 "v": np.concatenate(out_v),
             })
 
-    return rollup_df.select("kind", "series_key", "metric", "chunk") \
-        .mapInPandas(decode, POINTS_SCHEMA)
+    return (rollup_df.select("kind", "series_key", "metric", "chunk")
+            .mapInPandas(decode, _POINTS_US_SCHEMA)
+            .select("kind", "series_key", "metric",
+                    F.timestamp_micros("ts_us").alias("ts"), "v"))
+
+
+def _utc_instant(s: str, floor_tier: str | None = None):
+    """Boundary string -> instant literal, SESSION-TIMEZONE-FREE.
+
+    The engine's time contract is UTC wall clock: stores are written
+    under UTC sessions (session.get_spark pins it), so stored instants
+    equal their UTC civil values. A dashboard session running with
+    spark.sql.session.timeZone=America/New_York must not silently
+    shift the queried range, so boundary strings are parsed
+    driver-side as UTC wall time and folded in as epoch-microsecond
+    literals (timestamp_micros — instant-exact under any session tz).
+    ``floor_tier`` truncates to the tier bucket first (pandas floor —
+    the tz-free analogue of date_trunc)."""
+    t = pd.Timestamp(s)
+    if t.tz is not None:  # explicit-offset strings convert to UTC
+        t = t.tz_convert("UTC").tz_localize(None)
+    if floor_tier is not None:
+        t = t.floor({"minute": "min", "hour": "h", "day": "D"}
+                    [_trunc_unit(floor_tier)])
+    return F.timestamp_micros(F.lit(int(t.value // 1000)))
+
+
+def _utc_date(s: str):
+    """Boundary string -> its UTC calendar date as a date literal
+    (date parsing is tz-free, but the time part must be dropped
+    driver-side so '2026-01-06 23:00' prunes to 2026-01-06)."""
+    t = pd.Timestamp(s)
+    if t.tz is not None:
+        t = t.tz_convert("UTC").tz_localize(None)
+    return F.lit(t.date().isoformat()).cast("date")
 
 
 def _pruned_tier(spark: SparkSession, store, tier: str,
@@ -63,7 +107,9 @@ def _pruned_tier(spark: SparkSession, store, tier: str,
     ``bucket_date`` partition directories and the series/bucket_ts
     row filters (parquet row-group stats). Shared by the decode path
     (series_points — which adds the third, in-chunk level) and the
-    aggregate path (query_range — which needs no decode at all)."""
+    aggregate path (query_range — which needs no decode at all).
+    Range boundaries resolve in UTC regardless of the session
+    timezone (see _utc_instant)."""
     df = store.read_tier(spark, tier)
     if kind is not None:
         df = df.filter(F.col("kind") == kind)
@@ -75,12 +121,11 @@ def _pruned_tier(spark: SparkSession, store, tier: str,
         # a bucket starting before t0 can still contain points >= t0
         # only if it overlaps: bucket_ts >= trunc(t0) keeps the edge
         # bucket; bucket_date pruning follows from the same predicate
-        df = df.filter(F.col("bucket_date") >= F.to_date(F.lit(t0)))
-        df = df.filter(F.col("bucket_ts")
-                       >= F.date_trunc(_trunc_unit(tier), F.lit(t0).cast("timestamp")))
+        df = df.filter(F.col("bucket_date") >= _utc_date(t0))
+        df = df.filter(F.col("bucket_ts") >= _utc_instant(t0, tier))
     if t1 is not None:
-        df = df.filter(F.col("bucket_ts") < F.lit(t1).cast("timestamp"))
-        df = df.filter(F.col("bucket_date") <= F.to_date(F.lit(t1)))
+        df = df.filter(F.col("bucket_ts") < _utc_instant(t1))
+        df = df.filter(F.col("bucket_date") <= _utc_date(t1))
     return df
 
 
@@ -100,9 +145,9 @@ def series_points(spark: SparkSession, store, tier: str,
     df = _pruned_tier(spark, store, tier, kind, series_key, metric, t0, t1)
     pts = decode_points(df)
     if t0 is not None:
-        pts = pts.filter(F.col("ts") >= F.lit(t0).cast("timestamp"))
+        pts = pts.filter(F.col("ts") >= _utc_instant(t0))
     if t1 is not None:
-        pts = pts.filter(F.col("ts") < F.lit(t1).cast("timestamp"))
+        pts = pts.filter(F.col("ts") < _utc_instant(t1))
     return pts
 
 
@@ -132,6 +177,17 @@ _REAGG = {
     "last": lambda: F.expr("max_by(last_v, bucket_ts)"),
     "avg": lambda: F.sum("sum_v") / F.sum("cnt"),
 }
+
+
+def _step_bucket(ts_col: str, step_us: int):
+    """Epoch-aligned step bucket as pure integer arithmetic —
+    deliberately NOT `F.window()`, whose origin is 1970-01-01 in the
+    SESSION timezone (a +05:30 session shifts every 2h bucket by 30
+    minutes). unix_micros is instant-based, so buckets land identically
+    under any session tz and nest exactly with the UTC-written tiers.
+    Same origin as date_trunc-under-UTC for s/m/h/d steps."""
+    us = F.unix_micros(F.col(ts_col))
+    return F.timestamp_micros(us - (us % F.lit(step_us))).alias("bucket_ts")
 
 
 def parse_step(step: str) -> int:
@@ -198,15 +254,10 @@ def query_range(spark: SparkSession, store, metric: str,
     if step_us % TIER_US[tier] != 0:
         raise ValueError(f"step {step!r} is not a multiple of tier {tier!r}")
     rows = _pruned_tier(spark, store, tier, kind, series_key, metric, t0, t1)
-    # epoch-aligned step buckets (window().start), same origin as the
-    # tiers' date_trunc buckets, so tier buckets nest exactly
-    bucket = F.window("bucket_ts", f"{step_us // 1_000_000} seconds")
     out = (
         rows.groupBy("kind", "series_key", "metric",
-                     bucket.alias("_w"))
+                     _step_bucket("bucket_ts", step_us))
         .agg(_REAGG[agg]().alias("value"))
-        .select("kind", "series_key", "metric",
-                F.col("_w.start").alias("bucket_ts"), "value")
     )
     if fill is not None:
         from .gapfill import gapfill
@@ -214,10 +265,10 @@ def query_range(spark: SparkSession, store, metric: str,
         out = gapfill(out, step_us, value_col="value", method=fill)
     if t0 is not None:
         out = out.filter(F.col("bucket_ts")
-                         >= F.lit(t0).cast("timestamp") - F.expr(
+                         >= _utc_instant(t0) - F.expr(
                              f"INTERVAL {(step_us - 1) // 1_000_000} SECONDS"))
     if t1 is not None:
-        out = out.filter(F.col("bucket_ts") < F.lit(t1).cast("timestamp"))
+        out = out.filter(F.col("bucket_ts") < _utc_instant(t1))
     return out
 
 
@@ -249,13 +300,11 @@ def query_range_rate(spark: SparkSession, store, metric: str,
     step_us = parse_step(step)
     pts = series_points(spark, store, tier, kind, series_key, metric, t0, t1)
     inc = TS.with_increase(pts)
-    bucket = F.window("ts", f"{step_us // 1_000_000} seconds")
     value = F.sum("increase")
     if per_second:
         value = value / F.lit(step_us / 1_000_000.0)
     return (
-        inc.groupBy("kind", "series_key", "metric", bucket.alias("_w"))
+        inc.groupBy("kind", "series_key", "metric",
+                    _step_bucket("ts", step_us))
         .agg(value.alias("value"), F.count("*").alias("n_samples"))
-        .select("kind", "series_key", "metric",
-                F.col("_w.start").alias("bucket_ts"), "value", "n_samples")
     )

@@ -539,8 +539,11 @@ def distinct_sketch_over_step(sketch_df: DataFrame,
     step granularity would give. The step must be a multiple of the
     sketch tier's bucket width (the caller picks the tier —
     read_path.select_tier implements the coarsest-divisor rule)."""
-    bucket = F.window("bucket_ts", f"{step_seconds} seconds") \
-        .getField("start").alias("bucket_ts")
+    # epoch arithmetic, not window(): window's origin is 1970-01-01 in
+    # the SESSION timezone, which shifts buckets under e.g. +05:30
+    us = F.unix_micros(F.col("bucket_ts"))
+    step_us = step_seconds * 1_000_000
+    bucket = F.timestamp_micros(us - (us % F.lit(step_us))).alias("bucket_ts")
     return _union_sketches(sketch_df, bucket, F.lit(f"{step_seconds}s"))
 
 

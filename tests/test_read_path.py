@@ -233,3 +233,41 @@ def test_query_range_rate_reset_handling(spark, tmp_path):
     assert len(out) == 1
     # increases: NULL, 15, 3 (reset: full value), 5 -> 23
     assert out[0]["value"] == 23.0 and out[0]["n_samples"] == 4
+
+
+def test_read_path_is_session_timezone_invariant(spark, store):
+    """The engine's time contract is UTC wall clock; a dashboard
+    session running under America/New_York or Asia/+05:30 must get
+    IDENTICAL results (instants, counts, values) from every read
+    surface. Pins three once-real bugs: boundary strings parsed in
+    session tz, window() bucketing aligned to the session-tz epoch
+    (half-hour shift under +05:30), and decoded naive timestamps
+    interpreted as session-local by Arrow."""
+    from mimir_spark.read_path import query_range, query_range_rate
+
+    def dsum(c):
+        return F.sum(F.unix_micros(c).cast("decimal(38,0)"))
+
+    def sig():
+        a = series_points(spark, store, "1m", kind="conv",
+                          t0="2026-01-06", t1="2026-01-08")
+        b = query_range(spark, store, "token_volume", agg="sum", step="2h",
+                        kind="conv", t0="2026-01-06", t1="2026-01-08")
+        c = query_range_rate(spark, store, "token_volume", step="2h",
+                             kind="conv")
+        return (tuple(a.agg(F.count("*"), dsum("ts"), F.sum("v")).first()),
+                tuple(b.agg(F.count("*"), F.sum("value"),
+                            dsum("bucket_ts")).first()),
+                tuple(c.agg(F.count("*"), F.sum("value"),
+                            dsum("bucket_ts")).first()))
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        want = sig()
+        assert want[0][0] > 0 and want[1][0] > 0 and want[2][0] > 0
+        for tz in ("America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert sig() == want, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
