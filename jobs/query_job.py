@@ -55,7 +55,15 @@ def main(argv=None) -> int:
     pts.add_argument("--tier", default="1m")
     pts.add_argument("--metric", default=None)
 
-    for p in (rng, rate, pts):
+    lttb = sub.add_parser("lttb", help="LTTB-downsampled points per "
+                                       "series (plot-ready, shape-"
+                                       "preserving)")
+    lttb.add_argument("--tier", default="1m")
+    lttb.add_argument("--metric", default=None)
+    lttb.add_argument("--points", type=int, default=2000,
+                      help="max output points per series")
+
+    for p in (rng, rate, pts, lttb):
         p.add_argument("--kind", default=None)
         p.add_argument("--series-key", default=None)
         p.add_argument("--t0", default=None)
@@ -82,6 +90,14 @@ def main(argv=None) -> int:
                               t0=args.t0, t1=args.t1, kind=args.kind,
                               series_key=args.series_key, tier=args.tier,
                               per_second=args.per_second)
+    elif args.mode == "lttb":
+        from mimir_spark.downsample import downsample_lttb
+
+        df = downsample_lttb(
+            series_points(spark, store, args.tier, kind=args.kind,
+                          series_key=args.series_key, metric=args.metric,
+                          t0=args.t0, t1=args.t1),
+            args.points)
     else:
         df = series_points(spark, store, args.tier, kind=args.kind,
                            series_key=args.series_key, metric=args.metric,

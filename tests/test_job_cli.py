@@ -70,3 +70,41 @@ def test_cli_rate_equals_api(spark, store, tmp_path):
                                    kind="conv", per_second=True).toPandas())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) > 0
+
+
+def test_cli_lttb_equals_api(spark, store, tmp_path):
+    from mimir_spark.downsample import downsample_lttb
+
+    out = str(tmp_path / "lttb_out")
+    rc = query_job.main([
+        "--store", str(store.root), "lttb", "--metric", "token_volume",
+        "--kind", "conv", "--points", "10", "--out", out])
+    assert rc == 0
+    got = _canon(spark.read.parquet(out).toPandas())
+    want = _canon(downsample_lttb(
+        series_points(spark, store, "1m", kind="conv",
+                      metric="token_volume"), 10).toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) > 0
+    assert got.groupby("series_key").size().max() <= 10
+
+
+def test_corpus_job_cli(spark, tmp_path):
+    """The corpus-prep CLI end to end: staged stages, clean corpus +
+    _report written, report counts consistent, staging cleaned up."""
+    import corpus_job
+
+    src = str(tmp_path / "docs_in")
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .limit(300).write.parquet(src)
+    out = tmp_path / "clean"
+    rc = corpus_job.main(["--input", src, "--output", str(out),
+                          "--max-df", "200"])
+    assert rc == 0
+    clean = spark.read.parquet(str(out))
+    report = {r["stage"]: r["docs_kept"] for r in
+              spark.read.parquet(str(out / "_report")).collect()}
+    assert report["input"] == 300
+    assert clean.count() == report["neardup"] <= report["exact"] \
+        <= report["quality"] <= 300
+    assert not (tmp_path / "clean_staging").exists()
