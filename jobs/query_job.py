@@ -63,7 +63,14 @@ def main(argv=None) -> int:
     lttb.add_argument("--points", type=int, default=2000,
                       help="max output points per series")
 
-    for p in (rng, rate, pts, lttb):
+    dst = sub.add_parser("distinct", help="approximate distinct counts "
+                                          "per step from a persisted "
+                                          "sketch tier (HLL union)")
+    dst.add_argument("--metric", required=True)
+    dst.add_argument("--step", default="1h")
+    dst.add_argument("--tier", default=None)
+
+    for p in (rng, rate, pts, lttb, dst):
         p.add_argument("--kind", default=None)
         p.add_argument("--series-key", default=None)
         p.add_argument("--t0", default=None)
@@ -98,6 +105,14 @@ def main(argv=None) -> int:
                           series_key=args.series_key, metric=args.metric,
                           t0=args.t0, t1=args.t1),
             args.points)
+    elif args.mode == "distinct":
+        from mimir_spark.read_path import query_range_distinct
+
+        df = query_range_distinct(spark, store, args.metric,
+                                  step=args.step, t0=args.t0, t1=args.t1,
+                                  kind=args.kind,
+                                  series_key=args.series_key,
+                                  tier=args.tier)
     else:
         df = series_points(spark, store, args.tier, kind=args.kind,
                            series_key=args.series_key, metric=args.metric,

@@ -36,6 +36,11 @@ def main(argv=None) -> int:
     ap.add_argument("--job-id", default="rollup-job")
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--tiers", default="1m,1h,1d")
+    ap.add_argument("--distinct-sketch", default="",
+                    help="also build HLL distinct-count sketch tiers: "
+                         "comma list of tier:column, e.g. "
+                         "1h:conv_id,1d:conv_id (serves query_job "
+                         "'distinct'; one extra source scan per column)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
     if not args.input and not args.generate:
@@ -67,6 +72,22 @@ def main(argv=None) -> int:
               f"points_out={r['points_out']} bytes={r['bytes_compressed']}")
     print(f"done: {len(rows)} partitions this run "
           f"({args.partitions} total, rest were already committed)")
+
+    if args.distinct_sketch:
+        # post-job step (atomic per tier via write_sketch_tier's tmp
+        # swap, idempotent on re-run): one extra scan of the source
+        # per distinct column — sketches aggregate the raw points, so
+        # they cannot come from the already-written chunk tiers
+        from mimir_spark.ingest import ingest, turn_metrics
+        from mimir_spark.rollup import rollup_distinct_sketch
+
+        points = turn_metrics(ingest(source()))
+        for spec in args.distinct_sketch.split(","):
+            tier, col = spec.split(":", 1)
+            store.write_sketch_tier(
+                rollup_distinct_sketch(points, tier, distinct_col=col),
+                tier)
+            print(f"sketch tier {tier} (distinct {col}) written")
     return 0
 
 

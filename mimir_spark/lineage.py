@@ -83,6 +83,37 @@ class TieredStore:
             shutil.rmtree(out)
         tmp.rename(out)
 
+    def sketch_dir(self, tier: str) -> Path:
+        return self.root / f"sketch={tier}"
+
+    def write_sketch_tier(self, sketch_df: DataFrame, tier: str) -> None:
+        """Persist a distinct-count sketch tier (rollup_distinct_sketch
+        output) next to the aggregate tiers: date-partitioned like
+        them (same O(metadata) expiry applies via the shared layout),
+        atomically swapped into place, one file per date leaf with
+        series-sorted rows (_cluster_for_store)."""
+        out = self.sketch_dir(tier)
+        tmp = out.with_name(out.name + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        (
+            _cluster_for_store(
+                sketch_df.withColumn("bucket_date", F.to_date("bucket_ts")),
+                ["bucket_date"])
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(str(tmp))
+        )
+        if out.exists():
+            shutil.rmtree(out)
+        tmp.rename(out)
+
+    def read_sketch_tier(self, spark: SparkSession, tier: str) -> DataFrame:
+        return (
+            spark.read.option("basePath", str(self.sketch_dir(tier)))
+            .parquet(str(self.sketch_dir(tier)))
+        )
+
     def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
         # the one-pass writer stores tier as a partition directory, not a
         # file column — restore it (withColumn also normalizes stores

@@ -308,3 +308,46 @@ def query_range_rate(spark: SparkSession, store, metric: str,
                     _step_bucket("ts", step_us))
         .agg(value.alias("value"), F.count("*").alias("n_samples"))
     )
+
+
+def query_range_distinct(spark: SparkSession, store, metric: str,
+                         step: str = "1h", t0: str | None = None,
+                         t1: str | None = None, kind: str | None = None,
+                         series_key: str | None = None,
+                         tier: str | None = None,
+                         tiers=("1m", "1h", "1d")) -> DataFrame:
+    """Approximate DISTINCT counts per step bucket, served from a
+    PERSISTED sketch tier (TieredStore.write_sketch_tier of
+    rollup_distinct_sketch output) — the query_range verb for the one
+    aggregate that is not additive: exact per-bucket distincts cannot
+    re-aggregate, but HLL sketches union losslessly, so the same
+    coarsest-divisor tier rule applies and the estimate equals a
+    direct from-raw computation at the step granularity. Pruning:
+    bucket_date partition dirs + row-group stats, identical to the
+    aggregate path. Returns (kind, series_key, metric, bucket_ts,
+    n_distinct, cnt)."""
+    from .rollup import distinct_sketch_over_step
+
+    step_us = parse_step(step)
+    tier = tier or select_tier(step, tiers)
+    if step_us % TIER_US[tier] != 0:
+        raise ValueError(f"step {step!r} is not a multiple of tier {tier!r}")
+    df = store.read_sketch_tier(spark, tier)
+    if kind is not None:
+        df = df.filter(F.col("kind") == kind)
+    if series_key is not None:
+        df = df.filter(F.col("series_key") == series_key)
+    if metric is not None:
+        df = df.filter(F.col("metric") == metric)
+    if t0 is not None:
+        df = df.filter(F.col("bucket_date") >= _utc_date(t0))
+        df = df.filter(F.col("bucket_ts") >= _utc_instant(t0, tier))
+    if t1 is not None:
+        df = df.filter(F.col("bucket_ts") < _utc_instant(t1))
+        df = df.filter(F.col("bucket_date") <= _utc_date(t1))
+    out = distinct_sketch_over_step(df, step_us // 1_000_000) \
+        .select("kind", "series_key", "metric", "bucket_ts",
+                "n_distinct", "cnt")
+    if t1 is not None:
+        out = out.filter(F.col("bucket_ts") < _utc_instant(t1))
+    return out

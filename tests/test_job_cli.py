@@ -108,3 +108,47 @@ def test_corpus_job_cli(spark, tmp_path):
     assert clean.count() == report["neardup"] <= report["exact"] \
         <= report["quality"] <= 300
     assert not (tmp_path / "clean_staging").exists()
+
+
+def test_cli_distinct_and_sketch_flag(spark, tmp_path):
+    """rollup_job --distinct-sketch writes a persisted sketch tier the
+    query CLI's 'distinct' mode serves; estimates equal exact distinct
+    counts at fixture cardinalities."""
+    import sys as _sys
+
+    import rollup_job
+    from pyspark.sql import functions as F
+
+    from mimir_spark.fixtures import transcripts_df
+    from mimir_spark.ingest import ingest, turn_metrics
+
+    src = str(tmp_path / "turns_in")
+    transcripts_df(spark, 150).write.parquet(src)
+    store_dir = tmp_path / "dstore"
+    rc = rollup_job.main(["--input", src, "--output", str(store_dir),
+                          "--job-id", "dj", "--partitions", "2",
+                          "--distinct-sketch", "1h:conv_id"])
+    assert rc == 0
+    assert (store_dir / "sketch=1h").is_dir()
+    out = str(tmp_path / "dist_out")
+    rc = query_job.main(["--store", str(store_dir), "distinct",
+                         "--metric", "turn_rate", "--step", "2h",
+                         "--kind", "tool", "--out", out])
+    assert rc == 0
+    got = _canon(spark.read.parquet(out).toPandas())
+    us = F.unix_micros(F.col("ts"))
+    exact = _canon(
+        turn_metrics(ingest(spark.read.parquet(src)))
+        .filter("kind = 'tool' AND metric = 'turn_rate'")
+        .groupBy("kind", "series_key", "metric",
+                 F.timestamp_micros(us - us % F.lit(7200 * 1_000_000))
+                 .alias("bucket_ts"))
+        .agg(F.count_distinct("conv_id").alias("n_distinct"),
+             F.count("*").alias("cnt")).toPandas())
+    pd.testing.assert_frame_equal(
+        got[["bucket_ts", "cnt", "kind", "metric", "n_distinct",
+             "series_key"]],
+        exact[["bucket_ts", "cnt", "kind", "metric", "n_distinct",
+               "series_key"]],
+        check_dtype=False)
+    assert len(got) > 0

@@ -271,3 +271,32 @@ def test_read_path_is_session_timezone_invariant(spark, store):
             assert sig() == want, tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_query_range_distinct_from_persisted_sketch(spark, t_small_df,
+                                                    store):
+    """Persisted sketch tier -> query_range_distinct at a 2h step ==
+    exact distinct conv_id per (series, 2h bucket) computed from raw
+    points (exact at fixture cardinalities), with the coarsest-divisor
+    tier auto-selected."""
+    from mimir_spark.read_path import query_range_distinct
+    from mimir_spark.rollup import rollup_distinct_sketch
+
+    points = turn_metrics(ingest(t_small_df)).filter(F.col("kind") == "tool")
+    store.write_sketch_tier(rollup_distinct_sketch(points, "1h"), "1h")
+
+    got = query_range_distinct(spark, store, "turn_rate", step="2h",
+                               kind="tool").toPandas()
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    us = F.unix_micros(F.col("ts"))
+    exact = points.filter(F.col("metric") == "turn_rate").groupBy(
+        "kind", "series_key", "metric",
+        F.timestamp_micros(us - us % F.lit(7200 * 1_000_000))
+        .alias("bucket_ts")) \
+        .agg(F.count_distinct("conv_id").alias("nd"),
+             F.count("*").alias("cnt")).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(got) == len(exact) > 0
+    assert (got["n_distinct"].to_numpy() == exact["nd"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == exact["cnt"].to_numpy()).all()
