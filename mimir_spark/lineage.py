@@ -135,6 +135,14 @@ class TieredStore:
             if date < cutoff_date:
                 shutil.rmtree(pdir)
                 dropped.append(str(pdir))
+        # a sketch tier of the same granularity ages with its
+        # aggregate tier: same policy, same O(metadata) drop (sketch
+        # tiers are unsharded — date dirs sit directly under the root)
+        for ddir in sorted(self.sketch_dir(tier).glob("bucket_date=*")):
+            date = ddir.name.split("=", 1)[1]
+            if date < cutoff_date:
+                shutil.rmtree(ddir)
+                dropped.append(str(ddir))
         return dropped
 
     def _stage_promote(self, df: DataFrame, tier: str, name: str) -> int:

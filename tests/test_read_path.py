@@ -300,3 +300,33 @@ def test_query_range_distinct_from_persisted_sketch(spark, t_small_df,
     assert len(got) == len(exact) > 0
     assert (got["n_distinct"].to_numpy() == exact["nd"].to_numpy()).all()
     assert (got["cnt"].to_numpy() == exact["cnt"].to_numpy()).all()
+
+
+def test_sketch_tier_expires_with_aggregate_tier(spark, t_small_df,
+                                                 tmp_path):
+    """Retention covers sketch tiers: expire(tier, cutoff) drops the
+    sketch tier's old date partitions alongside the aggregate tier's,
+    and the surviving sketches still serve query_range_distinct."""
+    from mimir_spark.lineage import TieredStore, run_rollup_job
+    from mimir_spark.read_path import query_range_distinct
+    from mimir_spark.rollup import rollup_distinct_sketch
+
+    s = TieredStore(tmp_path / "exp_store")
+    run_rollup_job(spark, lambda: t_small_df, s, "exp", num_partitions=2)
+    points = turn_metrics(ingest(t_small_df))
+    s.write_sketch_tier(rollup_distinct_sketch(points, "1h"), "1h")
+
+    dates = sorted(d.name.split("=")[1]
+                   for d in s.sketch_dir("1h").glob("bucket_date=*"))
+    assert len(dates) > 1
+    cutoff = dates[-1]  # keep only the last day
+    dropped = s.expire("1h", cutoff)
+    assert any("sketch=1h" in p for p in dropped)
+    assert any("tier=1h" in p for p in dropped)
+    left = {d.name.split("=")[1]
+            for d in s.sketch_dir("1h").glob("bucket_date=*")}
+    assert left == {dates[-1]}
+    out = query_range_distinct(spark, s, "turn_rate", step="1h",
+                               kind="conv")
+    rows = out.collect()
+    assert rows and all(str(r["bucket_ts"].date()) >= cutoff for r in rows)
