@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     ap.add_argument("--store", required=True, help="tier store root")
     ap.add_argument("--cascade", default="",
                     help="comma list of from:to tier pairs, e.g. 1m:1h,1h:1d")
+    ap.add_argument("--cascade-sketch", default="",
+                    help="comma list of from:to SKETCH tier pairs (HLL "
+                         "union), e.g. 1m:1h,1h:1d")
     ap.add_argument("--expire", default="",
                     help="comma list of tier:cutoff-date, e.g. 1m:2026-01-03")
     ap.add_argument("--retain", default="",
@@ -59,6 +62,10 @@ def main(argv=None) -> int:
         frm, to = pair.split(":")
         n = store.compact_tier(spark, frm, to, max_points=args.max_points)
         print(f"cascade {frm}->{to}: {n} partitions")
+    for pair in filter(None, args.cascade_sketch.split(",")):
+        frm, to = pair.split(":")
+        n = store.compact_sketch_tier(spark, frm, to)
+        print(f"cascade-sketch {frm}->{to}: {n} rows")
     for pair in filter(None, args.expire.split(",")):
         tier, cutoff = pair.split(":")
         dropped = store.expire(tier, cutoff)

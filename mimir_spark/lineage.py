@@ -114,6 +114,29 @@ class TieredStore:
             .parquet(str(self.sketch_dir(tier)))
         )
 
+    def compact_sketch_tier(self, spark: SparkSession, from_tier: str,
+                            to_tier: str) -> int:
+        """Derive a coarser DISTINCT-sketch tier from a finer one by
+        HLL union (rollup.cascade_distinct_sketch) — the sketch-tier
+        counterpart of compact_tier: sketch union is exact over the
+        sketch state, so the derived tier's estimates are identical to
+        sketching the raw points at the coarser bucket directly.
+
+        Sketch tiers are unsharded (no ``p=`` dirs) and small —
+        O(series x buckets) rows of ~2^lg_k bytes — so the write is a
+        single atomic directory swap (write_sketch_tier), not a
+        per-partition promote. Returns the row count written."""
+        from .rollup import cascade_distinct_sketch
+
+        if not any(self.sketch_dir(from_tier).glob("bucket_date=*")):
+            return 0
+        fine = self.read_sketch_tier(spark, from_tier).drop("bucket_date")
+        coarse = cascade_distinct_sketch(fine, to_tier)
+        # count from the persisted result, not before the write: the
+        # write is the one job; a pre-write count would run it twice
+        self.write_sketch_tier(coarse, to_tier)
+        return self.read_sketch_tier(spark, to_tier).count()
+
     def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
         # the one-pass writer stores tier as a partition directory, not a
         # file column — restore it (withColumn also normalizes stores

@@ -330,3 +330,34 @@ def test_sketch_tier_expires_with_aggregate_tier(spark, t_small_df,
                                kind="conv")
     rows = out.collect()
     assert rows and all(str(r["bucket_ts"].date()) >= cutoff for r in rows)
+
+
+def test_compact_sketch_tier_equals_direct(spark, t_small_df, tmp_path):
+    """Store-level sketch cascade: 1m sketches unioned into an 1h
+    sketch tier give the SAME estimates as sketching the raw points at
+    1h directly (HLL union is exact over the sketch state), and the
+    cascaded tier serves query_range_distinct."""
+    from mimir_spark.read_path import query_range_distinct
+    from mimir_spark.rollup import rollup_distinct_sketch
+
+    s = TieredStore(tmp_path / "sk_store")
+    points = turn_metrics(ingest(t_small_df))
+    s.write_sketch_tier(rollup_distinct_sketch(points, "1m"), "1m")
+
+    n = s.compact_sketch_tier(spark, "1m", "1h")
+    assert n > 0
+
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    got = s.read_sketch_tier(spark, "1h") \
+        .select(*key, "cnt", "n_distinct").toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    want = rollup_distinct_sketch(points, "1h") \
+        .select(*key, "cnt", "n_distinct").toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) == n
+    assert (got["n_distinct"].to_numpy() == want["n_distinct"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+    out = query_range_distinct(spark, s, "turn_rate", step="2h",
+                               kind="conv", tier="1h")
+    assert out.count() > 0
