@@ -75,19 +75,31 @@ def main(argv=None) -> int:
 
     if args.distinct_sketch:
         # post-job step (atomic per tier via write_sketch_tier's tmp
-        # swap, idempotent on re-run): one extra scan of the source
-        # per distinct column — sketches aggregate the raw points, so
-        # they cannot come from the already-written chunk tiers
+        # swap, idempotent on re-run): ONE extra scan of the source
+        # per distinct column — only the FINEST requested tier
+        # aggregates the raw points; every coarser tier cascades from
+        # the persisted finer sketch tier by HLL union (exact over
+        # sketch state), reading O(series x buckets) sketch rows
+        # instead of the corpus
         from mimir_spark.ingest import ingest, turn_metrics
-        from mimir_spark.rollup import rollup_distinct_sketch
+        from mimir_spark.rollup import TIER_US, rollup_distinct_sketch
 
-        points = turn_metrics(ingest(source()))
+        by_col: dict[str, list[str]] = {}
         for spec in args.distinct_sketch.split(","):
             tier, col = spec.split(":", 1)
+            by_col.setdefault(col, []).append(tier)
+        points = turn_metrics(ingest(source()))
+        for col, tiers in by_col.items():
+            tiers.sort(key=lambda t: TIER_US[t])
+            finest = tiers[0]
             store.write_sketch_tier(
-                rollup_distinct_sketch(points, tier, distinct_col=col),
-                tier)
-            print(f"sketch tier {tier} (distinct {col}) written")
+                rollup_distinct_sketch(points, finest, distinct_col=col),
+                finest)
+            print(f"sketch tier {finest} (distinct {col}) written")
+            for prev, tier in zip(tiers, tiers[1:]):
+                n = store.compact_sketch_tier(spark, prev, tier)
+                print(f"sketch tier {tier} (distinct {col}) "
+                      f"cascaded from {prev}: {n} rows")
     return 0
 
 

@@ -152,3 +152,40 @@ def test_cli_distinct_and_sketch_flag(spark, tmp_path):
                "series_key"]],
         check_dtype=False)
     assert len(got) > 0
+
+
+def test_cli_multi_tier_sketch_cascades_from_finest(spark, tmp_path):
+    """--distinct-sketch with several tiers for one column scans the
+    source ONCE (finest tier) and cascades the coarser tiers from the
+    persisted sketches; the cascaded 1d tier equals a direct
+    computation from raw points."""
+    import rollup_job
+    from pyspark.sql import functions as F
+
+    from mimir_spark.fixtures import transcripts_df
+    from mimir_spark.ingest import ingest, turn_metrics
+    from mimir_spark.lineage import TieredStore
+
+    src = str(tmp_path / "turns_in_mt")
+    transcripts_df(spark, 150).write.parquet(src)
+    store_dir = tmp_path / "mtstore"
+    rc = rollup_job.main(["--input", src, "--output", str(store_dir),
+                          "--job-id", "mt", "--partitions", "2",
+                          "--distinct-sketch",
+                          "1d:conv_id,1h:conv_id"])
+    assert rc == 0
+    assert (store_dir / "sketch=1h").is_dir()
+    assert (store_dir / "sketch=1d").is_dir()
+
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    got = _canon(TieredStore(store_dir).read_sketch_tier(spark, "1d")
+                 .select(*key, "cnt", "n_distinct").toPandas())
+    exact = _canon(
+        turn_metrics(ingest(spark.read.parquet(src)))
+        .groupBy("kind", "series_key", "metric",
+                 F.date_trunc("day", F.col("ts")).alias("bucket_ts"))
+        .agg(F.count_distinct("conv_id").alias("n_distinct"),
+             F.count("*").alias("cnt")).toPandas())
+    assert len(got) == len(exact) > 0
+    assert (got["n_distinct"].to_numpy() == exact["n_distinct"].to_numpy()).all()
+    assert (got["cnt"].to_numpy() == exact["cnt"].to_numpy()).all()
