@@ -128,6 +128,97 @@ def streaming_rollup(stream: DataFrame, tier: str = "1m",
     )
 
 
+def streaming_distinct_sketch(stream: DataFrame, tier: str = "1m",
+                              watermark: str = "10 minutes",
+                              distinct_col: str = "conv_id",
+                              lg_k: int = 12) -> DataFrame:
+    """Continuous DISTINCT-count sketches with event-time watermarking
+    — the streaming twin of rollup.rollup_distinct_sketch, completing
+    batch/stream symmetry for the one non-additive aggregate.
+
+    hll_sketch_agg is a declarative partial+final aggregate, so it
+    runs under the standard streaming state store: a closed bucket
+    emits the SAME sketch registers the batch path builds (union over
+    arrival order is commutative), hence identical estimates and
+    losslessly union-able output — a foreachBatch sink can merge
+    emitted rows straight into a TieredStore sketch tier.
+    """
+    unit = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
+    deduped = (
+        _as_event_time(stream).withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    points = stream_turn_metrics(deduped)
+    return (
+        points
+        .groupBy(F.window("ts", unit).alias("w"),
+                 "kind", "series_key", "metric")
+        .agg(F.hll_sketch_agg(distinct_col, F.lit(lg_k))
+             .alias("distinct_sketch"),
+             F.count("*").alias("cnt"))
+        .select(F.lit(tier).alias("tier"),
+                "kind", "series_key", "metric",
+                _bucket_ntz("w.start").alias("bucket_ts"),
+                "cnt",
+                F.hll_sketch_estimate("distinct_sketch").cast("long")
+                .alias("n_distinct"),
+                "distinct_sketch")
+    )
+
+
+#: Ledger sidecar for the streaming sketch sink: `_`-prefixed, so the
+#: parquet reader skips it; swapped atomically WITH the tier data.
+_SKETCH_LEDGER = "_applied_batches.json"
+
+# inverse of _bucket_ntz: NTZ UTC wall time -> instant, session-tz
+# invariant (whole-second bucket boundaries, so SECOND is lossless)
+_NTZ_TO_INSTANT = ("timestamp_seconds(timestampdiff(SECOND, "
+                   "timestamp_ntz'1970-01-01 00:00:00', bucket_ts))")
+
+
+def sketch_store_sink(store, tier: str):
+    """foreachBatch sink merging streamed distinct sketches into a
+    TieredStore sketch tier — the production end of
+    streaming_distinct_sketch: emitted closed buckets union (HLL +
+    summed cnt) into the persisted tier that query_range_distinct
+    serves.
+
+    Exactly-once under foreachBatch's at-least-once retries: a batch-id
+    ledger lives INSIDE the tier directory and commits in the same
+    atomic swap as the data, so a retried micro-batch is a no-op and a
+    crash between write and ledger cannot happen. The merge re-reads
+    the current tier per batch — sketch tiers are O(series x buckets)
+    rows of ~2^lg_k bytes, orders of magnitude below the corpus, so
+    this stays cheap at any corpus scale.
+    """
+    import json
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from ..rollup import _union_sketches
+
+        ledger = store.sketch_dir(tier) / _SKETCH_LEDGER
+        applied = json.loads(ledger.read_text()) if ledger.exists() else []
+        if batch_id in applied:
+            return
+        cols = ["kind", "series_key", "metric", "bucket_ts", "cnt",
+                "distinct_sketch"]
+        new = batch_df.withColumn(
+            "bucket_ts", F.expr(_NTZ_TO_INSTANT)).select(*cols)
+        if new.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if any(store.sketch_dir(tier).glob("bucket_date=*")):
+            cur = store.read_sketch_tier(spark, tier).select(*cols)
+            new = cur.unionByName(new)
+        merged = _union_sketches(new, F.col("bucket_ts").alias("bucket_ts"),
+                                 F.lit(tier))
+        store.write_sketch_tier(
+            merged, tier,
+            extra_files={_SKETCH_LEDGER: json.dumps(applied + [batch_id])})
+
+    return write
+
+
 ROLLUP_CHUNK_SCHEMA = (
     "kind string, series_key string, metric string, "
     "bucket_ts timestamp_ntz, "

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
 from mimir_spark.ingest import ingest, turn_metrics
@@ -244,3 +245,112 @@ def test_streaming_sessionize(spark, tmp_path):
                 want.add((uid, str(s0), str(s1), n))
     assert got_rows == want
     assert len(want) > 10
+
+
+def test_streaming_distinct_sketch_matches_batch(spark, t_small_df,
+                                                 stream_dir):
+    """Streamed HLL sketches == batch rollup_distinct_sketch on the
+    emitted (closed) buckets: identical estimates AND register-exact
+    sketches (union is commutative over arrival order), so emitted
+    rows can merge straight into a persisted sketch tier."""
+    from mimir_spark.rollup import rollup_distinct_sketch
+    from mimir_spark.streaming.rollup_stream import (
+        replay_stream, streaming_distinct_sketch)
+
+    got = replay_stream(
+        spark, stream_dir, TRANSCRIPT_SCHEMA,
+        lambda s: streaming_distinct_sketch(s, tier="1h"),
+        "sk_stream").toPandas()
+    assert len(got) > 0, "stream must emit closed buckets"
+
+    batch = rollup_distinct_sketch(
+        turn_metrics(ingest(t_small_df)), "1h") \
+        .select(*KEY, "cnt", "n_distinct").toPandas()
+
+    got = got.sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    sub = batch.merge(got[KEY], on=KEY, how="inner") \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    assert len(sub) == len(got)
+    pd.testing.assert_frame_equal(
+        got[KEY + ["cnt", "n_distinct"]],
+        sub[KEY + ["cnt", "n_distinct"]],
+        check_dtype=False,
+    )
+
+
+def test_sketch_store_sink_end_to_end(spark, t_small_df, stream_dir,
+                                      tmp_path):
+    """streaming_distinct_sketch -> foreachBatch sketch_store_sink:
+    the persisted tier accumulates exactly the emitted closed buckets
+    across micro-batches (estimates == batch computation), serves
+    query_range_distinct, and a re-delivered batch id is a no-op (the
+    ledger commits atomically with the swap)."""
+    from mimir_spark.lineage import TieredStore
+    from mimir_spark.read_path import query_range_distinct
+    from mimir_spark.rollup import rollup_distinct_sketch
+    from mimir_spark.streaming.rollup_stream import (
+        sketch_store_sink, streaming_distinct_sketch)
+
+    store = TieredStore(tmp_path / "skstream_store")
+    sink = sketch_store_sink(store, "1h")
+    # single data micro-batch (no maxFilesPerTrigger): deterministic
+    # emitted set -- with several batches the advancing watermark
+    # drops whichever rows the unordered file listing makes "late",
+    # which is correct streaming semantics but not comparable to batch
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_dir)
+    q = (
+        streaming_distinct_sketch(stream, tier="1h")
+        .writeStream.outputMode("append").foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = store.read_sketch_tier(spark, "1h") \
+        .select(*KEY, "cnt", "n_distinct").toPandas() \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    assert len(got) > 0
+    batch = rollup_distinct_sketch(turn_metrics(ingest(t_small_df)), "1h") \
+        .select(*KEY, "cnt", "n_distinct").toPandas()
+    sub = batch.merge(got[KEY], on=KEY, how="inner") \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    assert len(sub) == len(got)
+    assert (got["cnt"].to_numpy() == sub["cnt"].to_numpy()).all()
+    assert (got["n_distinct"].to_numpy()
+            == sub["n_distinct"].to_numpy()).all()
+
+    # retry idempotence: re-deliver an applied batch id with data that
+    # would double every cnt if it were merged
+    import json
+    ledger = store.sketch_dir("1h") / "_applied_batches.json"
+    applied = json.loads(ledger.read_text())
+    assert applied
+    poison = store.read_sketch_tier(spark, "1h") \
+        .select("kind", "series_key", "metric",
+                F.expr("cast(bucket_ts as timestamp_ntz)")
+                .alias("bucket_ts"),
+                "cnt", "n_distinct", "distinct_sketch")
+    sink(poison, applied[-1])
+    again = store.read_sketch_tier(spark, "1h") \
+        .select(*KEY, "cnt").toPandas() \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    assert (again["cnt"].to_numpy() == got["cnt"].to_numpy()).all()
+
+    # a NEW batch id with disjoint buckets accumulates instead of
+    # replacing: row count doubles, original buckets keep their cnt
+    shifted = poison.withColumn(
+        "bucket_ts", F.expr("bucket_ts + INTERVAL 1000 HOURS"))
+    sink(shifted, max(applied) + 1)
+    merged = store.read_sketch_tier(spark, "1h") \
+        .select(*KEY, "cnt").toPandas()
+    assert len(merged) == 2 * len(got)
+    orig = merged.merge(got[KEY], on=KEY, how="inner") \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    assert (orig["cnt"].to_numpy() == got["cnt"].to_numpy()).all()
+
+    # and the tier serves the dashboard verb
+    assert query_range_distinct(spark, store, "turn_rate", step="2h",
+                                kind="conv", tier="1h").count() > 0
