@@ -186,6 +186,20 @@ def _ensure_readpath_store(spark):
         marker.write_text("ok")
     else:
         note(f"reusing cached read-path store {out}")
+    sk_marker = out / "_BENCH_SKETCH_DONE"
+    if not sk_marker.exists():
+        # distinct-serving tier: finest sketched from raw once, 1h
+        # cascaded from the persisted 1m sketches (the single-scan
+        # production shape of rollup_job --distinct-sketch)
+        from mimir_spark.ingest import ingest, turn_metrics
+        from mimir_spark.rollup import rollup_distinct_sketch
+
+        note("building sketch tiers on the read-path store")
+        corpus = _ensure_corpus(spark)
+        points = turn_metrics(ingest(spark.read.parquet(corpus)))
+        store.write_sketch_tier(rollup_distinct_sketch(points, "1m"), "1m")
+        store.compact_sketch_tier(spark, "1m", "1h")
+        sk_marker.write_text("ok")
     return store
 
 
@@ -350,6 +364,15 @@ def main() -> int:
                                  series_key="bash",
                                  t0="2026-01-07", t1="2026-01-08")
 
+        def _x_query_distinct(sp, sf):
+            from mimir_spark.read_path import query_range_distinct
+
+            # non-additive aggregate served from the persisted HLL
+            # sketch tier: 2h step unions the 1h tier's sketches --
+            # no raw-data re-read at any corpus scale
+            return query_range_distinct(sp, rp_store, "turn_rate",
+                                        step="2h", kind="tool")
+
         def _x_query_range(sp, sf):
             from mimir_spark.read_path import query_range
 
@@ -365,6 +388,7 @@ def main() -> int:
         if rp_store is not None:
             extras.append(("read_path_series_points", _x_readpath))
             extras.append(("query_range_2h_avg", _x_query_range))
+            extras.append(("query_range_distinct_2h", _x_query_distinct))
         for name, fn in extras:
             t0 = time.monotonic()
             try:

@@ -329,7 +329,21 @@ def query_range_distinct(spark: SparkSession, store, metric: str,
     from .rollup import distinct_sketch_over_step
 
     step_us = parse_step(step)
-    tier = tier or select_tier(step, tiers)
+    if tier is None:
+        # unlike aggregate tiers (the job always writes all three),
+        # sketch tiers exist only where requested — auto-select among
+        # the ones actually present so a 1h-only store serves a 2h
+        # step instead of failing on the absent 1m tier
+        if hasattr(store, "sketch_dir"):
+            present = [t for t in tiers
+                       if any(store.sketch_dir(t).glob("bucket_date=*"))]
+            if not present:
+                raise ValueError(
+                    f"store has no sketch tier (looked for {tuple(tiers)}); "
+                    "write one with rollup_job --distinct-sketch or "
+                    "TieredStore.write_sketch_tier")
+            tiers = present
+        tier = select_tier(step, tiers)
     if step_us % TIER_US[tier] != 0:
         raise ValueError(f"step {step!r} is not a multiple of tier {tier!r}")
     df = store.read_sketch_tier(spark, tier)

@@ -361,3 +361,24 @@ def test_compact_sketch_tier_equals_direct(spark, t_small_df, tmp_path):
     out = query_range_distinct(spark, s, "turn_rate", step="2h",
                                kind="conv", tier="1h")
     assert out.count() > 0
+
+
+def test_query_range_distinct_tier_autoselect_present_only(
+        spark, t_small_df, tmp_path):
+    """tier=None selects among sketch tiers that actually exist: a
+    store holding only sketch=1h serves a 2h step (instead of failing
+    on the absent 1m tier), and a sketch-less store raises a clear
+    error."""
+    from mimir_spark.read_path import query_range_distinct
+    from mimir_spark.rollup import rollup_distinct_sketch
+
+    s = TieredStore(tmp_path / "only1h")
+    points = turn_metrics(ingest(t_small_df))
+    s.write_sketch_tier(rollup_distinct_sketch(points, "1h"), "1h")
+    out = query_range_distinct(spark, s, "turn_rate", step="2h",
+                               kind="conv")
+    assert out.count() > 0
+
+    empty = TieredStore(tmp_path / "nosketch")
+    with pytest.raises(ValueError, match="no sketch tier"):
+        query_range_distinct(spark, empty, "turn_rate", step="2h")
