@@ -70,7 +70,13 @@ def main(argv=None) -> int:
     dst.add_argument("--step", default="1h")
     dst.add_argument("--tier", default=None)
 
-    for p in (rng, rate, pts, lttb, dst):
+    gaps = sub.add_parser("gaps", help="missing-bucket report: per-"
+                                       "series tier buckets with no "
+                                       "data, labeled with run length")
+    gaps.add_argument("--tier", default="1m")
+    gaps.add_argument("--metric", default=None)
+
+    for p in (rng, rate, pts, lttb, dst, gaps):
         p.add_argument("--kind", default=None)
         p.add_argument("--series-key", default=None)
         p.add_argument("--t0", default=None)
@@ -113,6 +119,12 @@ def main(argv=None) -> int:
                                   kind=args.kind,
                                   series_key=args.series_key,
                                   tier=args.tier)
+    elif args.mode == "gaps":
+        from mimir_spark.read_path import query_gaps
+
+        df = query_gaps(spark, store, metric=args.metric, tier=args.tier,
+                        t0=args.t0, t1=args.t1, kind=args.kind,
+                        series_key=args.series_key)
     else:
         df = series_points(spark, store, args.tier, kind=args.kind,
                            series_key=args.series_key, metric=args.metric,

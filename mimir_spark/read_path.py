@@ -272,6 +272,23 @@ def query_range(spark: SparkSession, store, metric: str,
     return out
 
 
+def query_gaps(spark: SparkSession, store, metric: str | None = None,
+               tier: str = "1m", t0: str | None = None,
+               t1: str | None = None, kind: str | None = None,
+               series_key: str | None = None) -> DataFrame:
+    """Missing-bucket report served from the tier store — the
+    monitoring verb: per-series tier buckets with NO data between each
+    series' first and last observed bucket in the (pruned) slice,
+    labeled with the consecutive-run length (gapfill.missing_buckets).
+    Reads only tier ROWS (no chunk decode, no Python): bucket_date
+    dir pruning + row-group stats, like query_range."""
+    rows = _pruned_tier(spark, store, tier, kind, series_key, metric,
+                        t0, t1)
+    from .gapfill import missing_buckets
+
+    return missing_buckets(rows, tier)
+
+
 def query_range_rate(spark: SparkSession, store, metric: str,
                      step: str = "1h", t0: str | None = None,
                      t1: str | None = None, kind: str | None = None,

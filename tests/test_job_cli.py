@@ -189,3 +189,32 @@ def test_cli_multi_tier_sketch_cascades_from_finest(spark, tmp_path):
     assert len(got) == len(exact) > 0
     assert (got["n_distinct"].to_numpy() == exact["n_distinct"].to_numpy()).all()
     assert (got["cnt"].to_numpy() == exact["cnt"].to_numpy()).all()
+
+
+def test_cli_gaps_equals_api_and_raw(spark, store, t_small_df, tmp_path):
+    """'gaps' CLI == query_gaps library call == missing_buckets over a
+    from-raw rollup of the same slice (the store serves the report
+    without decoding chunks)."""
+    from pyspark.sql import functions as F
+
+    from mimir_spark.gapfill import missing_buckets
+    from mimir_spark.ingest import ingest, turn_metrics
+    from mimir_spark.read_path import query_gaps
+    from mimir_spark.rollup import rollup_aggs
+
+    out = str(tmp_path / "gaps_out")
+    rc = query_job.main([
+        "--store", str(store.root), "gaps", "--tier", "1m",
+        "--kind", "conv", "--metric", "turn_rate", "--out", out])
+    assert rc == 0
+    got = _canon(spark.read.parquet(out).toPandas())
+    want = _canon(query_gaps(spark, store, metric="turn_rate",
+                             tier="1m", kind="conv").toPandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    raw = rollup_aggs(turn_metrics(ingest(t_small_df)), "1m") \
+        .filter(F.col("kind") == "conv") \
+        .filter(F.col("metric") == "turn_rate")
+    from_raw = _canon(missing_buckets(raw, "1m").toPandas())
+    pd.testing.assert_frame_equal(got, from_raw, check_dtype=False)
+    assert len(got) > 0  # minute-tier conv series do have holes
