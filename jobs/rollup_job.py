@@ -41,9 +41,13 @@ def main(argv=None) -> int:
                          "comma list of tier:column, e.g. "
                          "1h:conv_id,1d:conv_id (serves query_job "
                          "'distinct'; one extra source scan per column)")
+    ap.add_argument("--status", action="store_true",
+                    help="report per-partition lineage for --job-id "
+                         "(rows in, points out, bytes compressed, "
+                         "commit time) and exit without running")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
-    if not args.input and not args.generate:
+    if not args.input and not args.generate and not args.status:
         ap.error("one of --input / --generate is required")
 
     from mimir_spark.lineage import run_rollup_job, tiered_store
@@ -62,6 +66,26 @@ def main(argv=None) -> int:
             return read_table(spark, args.input)
 
     store = tiered_store(args.output, spark)
+
+    if args.status:
+        # the resume contract, surfaced: a partition is done iff its
+        # lineage row is readable — this is exactly the set a re-run
+        # would skip
+        done = store.committed_partitions(spark, args.job_id)
+        if not done:
+            print(f"job {args.job_id}: no committed partitions")
+            return 0
+        lin = store.read_lineage(spark, args.job_id).orderBy("partition_id")
+        lin.show(args.partitions + 10, truncate=False)
+        tot = lin.groupBy().sum("rows_in", "points_out",
+                                "bytes_compressed").first()
+        pending = sorted(set(range(args.partitions)) - done)
+        print(f"job {args.job_id}: {len(done)}/{args.partitions} "
+              f"partitions committed; pending {pending or 'none'}; "
+              f"totals rows_in={tot[0]} points_out={tot[1]} "
+              f"bytes_compressed={tot[2]}")
+        return 0
+
     rows = run_rollup_job(
         spark, source, store, args.job_id,
         num_partitions=args.partitions,

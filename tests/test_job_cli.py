@@ -218,3 +218,32 @@ def test_cli_gaps_equals_api_and_raw(spark, store, t_small_df, tmp_path):
     from_raw = _canon(missing_buckets(raw, "1m").toPandas())
     pd.testing.assert_frame_equal(got, from_raw, check_dtype=False)
     assert len(got) > 0  # minute-tier conv series do have holes
+
+
+def test_cli_rollup_status(spark, tmp_path, capsys):
+    """--status reports committed/pending partitions from the lineage
+    table (exactly the set a resume would skip) without running the
+    job; an unknown job id reports cleanly."""
+    import rollup_job
+
+    from mimir_spark.fixtures import transcripts_df
+
+    src = str(tmp_path / "st_in")
+    transcripts_df(spark, 80).write.parquet(src)
+    store_dir = str(tmp_path / "st_store")
+    rc = rollup_job.main(["--input", src, "--output", store_dir,
+                          "--job-id", "stj", "--partitions", "3"])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = rollup_job.main(["--status", "--output", store_dir,
+                          "--job-id", "stj", "--partitions", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "3/3 partitions committed" in out
+    assert "pending none" in out
+
+    rc = rollup_job.main(["--status", "--output", store_dir,
+                          "--job-id", "ghost", "--partitions", "3"])
+    assert rc == 0
+    assert "no committed partitions" in capsys.readouterr().out
