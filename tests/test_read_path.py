@@ -382,3 +382,21 @@ def test_query_range_distinct_tier_autoselect_present_only(
     empty = TieredStore(tmp_path / "nosketch")
     with pytest.raises(ValueError, match="no sketch tier"):
         query_range_distinct(spark, empty, "turn_rate", step="2h")
+
+
+def test_query_gaps_no_decode_no_python(spark, store):
+    """The gap report's plan touches no chunk column, runs no Python,
+    and keeps bucket_date partition pruning when a range is given —
+    the same serving shape as query_range."""
+    from mimir_spark.read_path import query_gaps
+
+    import re
+
+    df = query_gaps(spark, store, metric="turn_rate", tier="1h",
+                    kind="conv", t0="2026-01-06")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    # the store's binary column is `chunk`; gapfill's internal grid
+    # column `_chunk` is fine — match the attribute, not the substring
+    assert not re.search(r"(?<![_\w])chunk#", plan)
+    assert "PartitionFilters: [" in plan and "bucket_date" in plan
