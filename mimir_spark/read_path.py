@@ -162,7 +162,8 @@ def _trunc_unit(tier: str) -> str:
 
 
 _STEP_UNITS_US = {"s": 1_000_000, "m": 60_000_000,
-                  "h": 3_600_000_000, "d": 86_400_000_000}
+                  "h": 3_600_000_000, "d": 86_400_000_000,
+                  "w": 7 * 86_400_000_000}
 
 #: step-level re-aggregations of the tier's partial aggregates
 #: (thunks: Columns need an active session, so never built at import).
@@ -191,12 +192,12 @@ def _step_bucket(ts_col: str, step_us: int):
 
 
 def parse_step(step: str) -> int:
-    """'90s' / '5m' / '2h' / '1d' -> microseconds."""
+    """'90s' / '5m' / '2h' / '1d' / '1w' -> microseconds."""
     import re
 
-    m = re.fullmatch(r"(\d+)([smhd])", step.strip())
+    m = re.fullmatch(r"(\d+)([smhdw])", step.strip())
     if not m:
-        raise ValueError(f"bad step {step!r} (expected <n>[smhd])")
+        raise ValueError(f"bad step {step!r} (expected <n>[smhdw])")
     us = int(m.group(1)) * _STEP_UNITS_US[m.group(2)]
     if us <= 0:
         raise ValueError(f"bad step {step!r}")

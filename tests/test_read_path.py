@@ -400,3 +400,28 @@ def test_query_gaps_no_decode_no_python(spark, store):
     # column `_chunk` is fine — match the attribute, not the substring
     assert not re.search(r"(?<![_\w])chunk#", plan)
     assert "PartitionFilters: [" in plan and "bucket_date" in plan
+
+
+def test_query_range_weekly_step(spark, store, t_small_df):
+    """step='1w' serves from the 1d tier (coarsest divisor) with
+    epoch-aligned week buckets equal to a direct weekly aggregation
+    of raw points."""
+    from mimir_spark.read_path import query_range, select_tier
+
+    assert select_tier("1w") == "1d"
+    got = query_range(spark, store, "token_volume", agg="sum",
+                      step="1w", kind="conv").toPandas()
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    got = got.sort_values(key).reset_index(drop=True)
+    us = F.unix_micros(F.col("ts"))
+    week_us = 7 * 86_400_000_000
+    want = turn_metrics(ingest(t_small_df)) \
+        .filter("kind = 'conv' AND metric = 'token_volume'") \
+        .groupBy("kind", "series_key", "metric",
+                 F.timestamp_micros(us - us % F.lit(week_us))
+                 .alias("bucket_ts")) \
+        .agg(F.sum("v").alias("value")).toPandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (abs(got["value"].to_numpy() - want["value"].to_numpy())
+            < 1e-6).all()
