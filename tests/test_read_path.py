@@ -425,3 +425,60 @@ def test_query_range_weekly_step(spark, store, t_small_df):
     assert len(got) == len(want) > 0
     assert (abs(got["value"].to_numpy() - want["value"].to_numpy())
             < 1e-6).all()
+
+
+def test_query_range_randomized_sweep(spark, store, t_small_df):
+    """Seeded sweep over (agg, step, t0, t1) combinations: every
+    served range equals the same aggregate computed from raw points
+    restricted to the tier buckets the serving contract covers
+    (step-bucket edges resolve at tier granularity)."""
+    import random
+
+    import numpy as np
+
+    from mimir_spark.read_path import query_range, parse_step, select_tier
+
+    rng = random.Random(0xC0FFEE)
+    pts = turn_metrics(ingest(t_small_df)).toPandas()
+    sub = pts[(pts.kind == "conv") & (pts.metric == "token_volume")]
+    lo, hi = sub["ts"].min(), sub["ts"].max()
+    span_s = (hi - lo).total_seconds()
+
+    for case in range(8):
+        agg = rng.choice(["sum", "count", "min", "max"])
+        step = rng.choice(["5m", "30m", "1h", "2h", "6h", "1d"])
+        step_s = parse_step(step) // 1_000_000
+        tier = select_tier(step)
+        # random sub-range, snapped to TIER buckets (the documented
+        # edge contract: a step bucket overlapping t0/t1 keeps its
+        # whole covered tier buckets; snapping isolates re-agg math)
+        tier_s = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+        a = lo + pd.Timedelta(seconds=rng.uniform(0, span_s * 0.4))
+        b = lo + pd.Timedelta(seconds=rng.uniform(span_s * 0.6, span_s))
+        a = a.floor(f"{tier_s}s")
+        b = b.floor(f"{tier_s}s")
+        got = query_range(spark, store, "token_volume", agg=agg,
+                          step=step, kind="conv", t0=str(a), t1=str(b)) \
+            .toPandas()
+        g = got.groupby("bucket_ts")["value"]
+        got_c = (g.sum() if agg in ("sum", "count")
+                 else g.min() if agg == "min" else g.max()).sort_index()
+
+        w = sub[(sub.ts >= a) & (sub.ts < b)].copy()
+        # epoch-aligned step bucket of each point
+        es = w["ts"].astype("int64") // 10**9
+        w["bucket_ts"] = pd.to_datetime((es - es % step_s) * 10**9)
+        gw = w.groupby("bucket_ts")["v"]
+        want = {"sum": gw.sum(), "count": gw.count().astype(float),
+                "min": gw.min(), "max": gw.max()}[agg].sort_index()
+        # serving keeps whole step buckets overlapping the range edge;
+        # compare on buckets fully inside [a, b)
+        inner = [t for t in want.index
+                 if t >= a and t + pd.Timedelta(seconds=step_s) <= b]
+        assert inner, f"case {case}: empty inner range"
+        gi = got_c.loc[[t for t in got_c.index if t in inner]]
+        wi = want.loc[inner]
+        assert len(gi) == len(wi), f"case {case} ({agg},{step},{a},{b})"
+        assert np.allclose(gi.to_numpy(np.float64),
+                           wi.to_numpy(np.float64)), \
+            f"case {case} ({agg},{step},{a},{b})"
