@@ -86,16 +86,12 @@ class TieredStore:
     def sketch_dir(self, tier: str) -> Path:
         return self.root / f"sketch={tier}"
 
-    def write_sketch_tier(self, sketch_df: DataFrame, tier: str,
-                          extra_files: dict[str, str] | None = None) -> None:
+    def write_sketch_tier(self, sketch_df: DataFrame, tier: str) -> None:
         """Persist a distinct-count sketch tier (rollup_distinct_sketch
         output) next to the aggregate tiers: date-partitioned like
         them (same O(metadata) expiry applies via the shared layout),
         atomically swapped into place, one file per date leaf with
-        series-sorted rows (_cluster_for_store). ``extra_files``
-        (name -> text) land inside the staged dir BEFORE the swap, so
-        sidecar state (e.g. the streaming sink's applied-batch ledger)
-        commits atomically with the data."""
+        series-sorted rows (_cluster_for_store)."""
         out = self.sketch_dir(tier)
         tmp = out.with_name(out.name + ".tmp")
         if tmp.exists():
@@ -108,8 +104,6 @@ class TieredStore:
             .partitionBy("bucket_date")
             .parquet(str(tmp))
         )
-        for name, text in (extra_files or {}).items():
-            (tmp / name).write_text(text)
         if out.exists():
             shutil.rmtree(out)
         tmp.rename(out)

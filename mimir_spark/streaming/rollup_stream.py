@@ -166,8 +166,9 @@ def streaming_distinct_sketch(stream: DataFrame, tier: str = "1m",
     )
 
 
-#: Ledger sidecar for the streaming sketch sink: `_`-prefixed, so the
-#: parquet reader skips it; swapped atomically WITH the tier data.
+#: Per-date ledger sidecar for the streaming sketch sink:
+#: `_`-prefixed, so the parquet reader skips it; each bucket_date dir
+#: carries ITS OWN ledger and swaps atomically with its data.
 _SKETCH_LEDGER = "_applied_batches.json"
 
 # inverse of _bucket_ntz: NTZ UTC wall time -> instant, session-tz
@@ -183,38 +184,65 @@ def sketch_store_sink(store, tier: str):
     summed cnt) into the persisted tier that query_range_distinct
     serves.
 
-    Exactly-once under foreachBatch's at-least-once retries: a batch-id
-    ledger lives INSIDE the tier directory and commits in the same
-    atomic swap as the data, so a retried micro-batch is a no-op and a
-    crash between write and ledger cannot happen. The merge re-reads
-    the current tier per batch — sketch tiers are O(series x buckets)
-    rows of ~2^lg_k bytes, orders of magnitude below the corpus, so
-    this stays cheap at any corpus scale.
+    Scale shape: the merge is scoped PER bucket_date — closed buckets
+    cluster just behind the watermark, so each micro-batch touches
+    1-2 date partitions and reads only those partitions' current rows
+    (a sketch tier can reach O(points) rows at conv granularity — the
+    35.6M-turn rehearsal's 1m tier holds 51M — so a whole-tier merge
+    per batch would be O(tier), not O(batch)).
+
+    Exactly-once under foreachBatch's at-least-once retries: each date
+    dir carries its own applied-batch ledger, written into the staged
+    dir BEFORE the atomic directory swap. A retry skips dates whose
+    ledger already lists the batch and re-merges only the dates the
+    crash left unswapped — per-date exactly-once with no external
+    transaction log.
     """
     import json
+    import shutil
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         from ..rollup import _union_sketches
 
-        ledger = store.sketch_dir(tier) / _SKETCH_LEDGER
-        applied = json.loads(ledger.read_text()) if ledger.exists() else []
-        if batch_id in applied:
-            return
         cols = ["kind", "series_key", "metric", "bucket_ts", "cnt",
                 "distinct_sketch"]
-        new = batch_df.withColumn(
-            "bucket_ts", F.expr(_NTZ_TO_INSTANT)).select(*cols)
-        if new.isEmpty():
+        new = (
+            batch_df.withColumn("bucket_ts", F.expr(_NTZ_TO_INSTANT))
+            .select(*cols)
+            .withColumn("bucket_date", F.to_date("bucket_ts"))
+        )
+        # 1-2 closed dates per batch: a bounded driver-side list
+        dates = sorted(str(r[0]) for r in
+                       new.select("bucket_date").distinct().collect())
+        if not dates:
             return
         spark = batch_df.sparkSession
-        if any(store.sketch_dir(tier).glob("bucket_date=*")):
-            cur = store.read_sketch_tier(spark, tier).select(*cols)
-            new = cur.unionByName(new)
-        merged = _union_sketches(new, F.col("bucket_ts").alias("bucket_ts"),
-                                 F.lit(tier))
-        store.write_sketch_tier(
-            merged, tier,
-            extra_files={_SKETCH_LEDGER: json.dumps(applied + [batch_id])})
+        root = store.sketch_dir(tier)
+        root.mkdir(parents=True, exist_ok=True)
+        for d in dates:
+            ddir = root / f"bucket_date={d}"
+            ledger = ddir / _SKETCH_LEDGER
+            applied = (json.loads(ledger.read_text())
+                       if ledger.exists() else [])
+            if batch_id in applied:
+                continue
+            part = new.filter(F.col("bucket_date") == d).drop("bucket_date")
+            if any(ddir.glob("*.parquet")):
+                part = spark.read.parquet(str(ddir)) \
+                    .select(*cols).unionByName(part)
+            merged = _union_sketches(
+                part, F.col("bucket_ts").alias("bucket_ts"), F.lit(tier))
+            staged = root / f".stage-{d}-{batch_id}"
+            if staged.exists():
+                shutil.rmtree(staged)
+            merged.coalesce(1).sortWithinPartitions(
+                "kind", "series_key", "metric", "bucket_ts") \
+                .write.mode("overwrite").parquet(str(staged))
+            (staged / _SKETCH_LEDGER).write_text(
+                json.dumps(applied + [batch_id]))
+            if ddir.exists():
+                shutil.rmtree(ddir)
+            staged.rename(ddir)
 
     return write
 

@@ -323,10 +323,14 @@ def test_sketch_store_sink_end_to_end(spark, t_small_df, stream_dir,
             == sub["n_distinct"].to_numpy()).all()
 
     # retry idempotence: re-deliver an applied batch id with data that
-    # would double every cnt if it were merged
+    # would double every cnt if it were merged (the ledger is
+    # per-date, inside each swapped bucket_date dir)
     import json
-    ledger = store.sketch_dir("1h") / "_applied_batches.json"
-    applied = json.loads(ledger.read_text())
+    ledgers = sorted(store.sketch_dir("1h")
+                     .glob("bucket_date=*/_applied_batches.json"))
+    assert ledgers
+    applied = sorted({b for f in ledgers
+                      for b in json.loads(f.read_text())})
     assert applied
     poison = store.read_sketch_tier(spark, "1h") \
         .select("kind", "series_key", "metric",
@@ -350,6 +354,37 @@ def test_sketch_store_sink_end_to_end(spark, t_small_df, stream_dir,
     orig = merged.merge(got[KEY], on=KEY, how="inner") \
         .sort_values(KEY, kind="mergesort").reset_index(drop=True)
     assert (orig["cnt"].to_numpy() == got["cnt"].to_numpy()).all()
+
+    # crash-resume: a batch spanning two dates where one date already
+    # carries the batch id (the "swapped before crash" date) merges
+    # ONLY the other date on retry
+    dates = sorted(d for d in store.sketch_dir("1h").glob("bucket_date=*"))
+    d_done, d_todo = dates[0], dates[-1]
+    bid = max(applied) + 2
+    done_applied = json.loads((d_done / "_applied_batches.json").read_text())
+    (d_done / "_applied_batches.json").write_text(
+        json.dumps(done_applied + [bid]))
+    fresh = store.read_sketch_tier(spark, "1h") \
+        .select("kind", "series_key", "metric",
+                F.expr("cast(bucket_ts as timestamp_ntz)")
+                .alias("bucket_ts"),
+                "cnt", "distinct_sketch")
+    two_dates = fresh.filter(
+        F.to_date(F.col("bucket_ts")).isin(
+            [d_done.name.split("=")[1], d_todo.name.split("=")[1]]))
+    before = store.read_sketch_tier(spark, "1h") \
+        .groupBy("bucket_date").sum("cnt").toPandas() \
+        .set_index("bucket_date")["sum(cnt)"].to_dict()
+    sink(two_dates, bid)
+    after = store.read_sketch_tier(spark, "1h") \
+        .groupBy("bucket_date").sum("cnt").toPandas() \
+        .set_index("bucket_date")["sum(cnt)"].to_dict()
+    kd = d_done.name.split("=")[1]
+    kt = d_todo.name.split("=")[1]
+    import datetime as _dt
+    kd, kt = _dt.date.fromisoformat(kd), _dt.date.fromisoformat(kt)
+    assert after[kd] == before[kd]          # already-swapped date untouched
+    assert after[kt] == 2 * before[kt]      # pending date merged on retry
 
     # and the tier serves the dashboard verb
     assert query_range_distinct(spark, store, "turn_rate", step="2h",
