@@ -62,6 +62,10 @@ def main(argv=None) -> int:
         frm, to = pair.split(":")
         n = store.compact_tier(spark, frm, to, max_points=args.max_points)
         print(f"cascade {frm}->{to}: {n} partitions")
+    if args.cascade_sketch and not hasattr(store, "compact_sketch_tier"):
+        ap.error(f"--cascade-sketch: the {type(store).__name__} backend "
+                 f"does not support sketch tiers (parquet TieredStore "
+                 f"only for now)")
     for pair in filter(None, args.cascade_sketch.split(",")):
         frm, to = pair.split(":")
         n = store.compact_sketch_tier(spark, frm, to)

@@ -39,7 +39,9 @@ def main(argv=None) -> int:
     rng.add_argument("--metric", required=True)
     rng.add_argument("--agg", default="avg",
                      choices=["sum", "count", "min", "max", "last", "avg"])
-    rng.add_argument("--step", default="1h")
+    rng.add_argument("--step", default="1h",
+                     help="bucket step <n>[smhdw]; epoch-aligned "
+                          "(weeks start Thursday, as in PromQL)")
     rng.add_argument("--tier", default=None,
                      help="force a tier (default: coarsest divisor of step)")
     rng.add_argument("--fill", default=None, choices=["locf", "linear"])

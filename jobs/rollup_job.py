@@ -34,7 +34,10 @@ def main(argv=None) -> int:
                     help="generate a deterministic corpus of N conversations instead of --input")
     ap.add_argument("--output", required=True, help="tier store root")
     ap.add_argument("--job-id", default="rollup-job")
-    ap.add_argument("--partitions", type=int, default=8)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="conversation shard count P (default 8 for a "
+                         "run; --status derives a lower bound from "
+                         "lineage when omitted)")
     ap.add_argument("--tiers", default="1m,1h,1d")
     ap.add_argument("--distinct-sketch", default="",
                     help="also build HLL distinct-count sketch tiers: "
@@ -49,6 +52,25 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if not args.input and not args.generate and not args.status:
         ap.error("one of --input / --generate is required")
+
+    # validate --distinct-sketch BEFORE the (potentially hours-long)
+    # rollup runs, not at the post-job step that consumes it
+    by_col: dict[str, list[str]] = {}
+    tier_owner: dict[str, str] = {}
+    for spec in filter(None, args.distinct_sketch.split(",")):
+        tier, col = spec.split(":", 1)
+        # sketch dirs are keyed by tier alone (sketch={tier}) — a
+        # tier requested for two columns would silently overwrite
+        # one column's sketches with the other's
+        if tier_owner.get(tier, col) != col:
+            ap.error(f"--distinct-sketch: tier {tier} requested "
+                     f"for both {tier_owner[tier]!r} and {col!r}; "
+                     f"sketch tiers are stored per tier, so each "
+                     f"tier can sketch exactly one column")
+        if tier in tier_owner:
+            ap.error(f"--distinct-sketch: tier {tier} listed twice")
+        tier_owner[tier] = col
+        by_col.setdefault(col, []).append(tier)
 
     from mimir_spark.lineage import run_rollup_job, tiered_store
     from mimir_spark.session import get_spark
@@ -66,6 +88,10 @@ def main(argv=None) -> int:
             return read_table(spark, args.input)
 
     store = tiered_store(args.output, spark)
+    if by_col and not hasattr(store, "write_sketch_tier"):
+        ap.error(f"--distinct-sketch: the {type(store).__name__} "
+                 f"backend does not support sketch tiers (parquet "
+                 f"TieredStore only for now)")
 
     if args.status:
         # the resume contract, surfaced: a partition is done iff its
@@ -75,27 +101,39 @@ def main(argv=None) -> int:
         if not done:
             print(f"job {args.job_id}: no committed partitions")
             return 0
+        # lineage records which shards committed, not the job's P; an
+        # omitted --partitions can only bound P from below (the top
+        # shard may be exactly the uncommitted one), so say so instead
+        # of silently assuming a default and reporting bogus pendings
+        if args.partitions is None:
+            total, assumed = max(done) + 1, True
+        else:
+            total, assumed = args.partitions, False
         lin = store.read_lineage(spark, args.job_id).orderBy("partition_id")
-        lin.show(args.partitions + 10, truncate=False)
+        lin.show(total + 10, truncate=False)
         tot = lin.groupBy().sum("rows_in", "points_out",
                                 "bytes_compressed").first()
-        pending = sorted(set(range(args.partitions)) - done)
-        print(f"job {args.job_id}: {len(done)}/{args.partitions} "
+        pending = sorted(set(range(total)) - done)
+        label = (f">={total} (lower bound from lineage; pass "
+                 f"--partitions for exact pending)" if assumed
+                 else str(total))
+        print(f"job {args.job_id}: {len(done)}/{label} "
               f"partitions committed; pending {pending or 'none'}; "
               f"totals rows_in={tot[0]} points_out={tot[1]} "
               f"bytes_compressed={tot[2]}")
         return 0
+    partitions = 8 if args.partitions is None else args.partitions
 
     rows = run_rollup_job(
         spark, source, store, args.job_id,
-        num_partitions=args.partitions,
+        num_partitions=partitions,
         tiers=tuple(args.tiers.split(",")),
     )
     for r in rows:
         print(f"partition={r['partition_id']} rows_in={r['rows_in']} "
               f"points_out={r['points_out']} bytes={r['bytes_compressed']}")
     print(f"done: {len(rows)} partitions this run "
-          f"({args.partitions} total, rest were already committed)")
+          f"({partitions} total, rest were already committed)")
 
     if args.distinct_sketch:
         # post-job step (atomic per tier via write_sketch_tier's tmp
@@ -108,10 +146,6 @@ def main(argv=None) -> int:
         from mimir_spark.ingest import ingest, turn_metrics
         from mimir_spark.rollup import TIER_US, rollup_distinct_sketch
 
-        by_col: dict[str, list[str]] = {}
-        for spec in args.distinct_sketch.split(","):
-            tier, col = spec.split(":", 1)
-            by_col.setdefault(col, []).append(tier)
         points = turn_metrics(ingest(source()))
         for col, tiers in by_col.items():
             tiers.sort(key=lambda t: TIER_US[t])

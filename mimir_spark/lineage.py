@@ -122,20 +122,50 @@ class TieredStore:
         sketch state, so the derived tier's estimates are identical to
         sketching the raw points at the coarser bucket directly.
 
-        Sketch tiers are unsharded (no ``p=`` dirs) and small —
-        O(series x buckets) rows of ~2^lg_k bytes — so the write is a
-        single atomic directory swap (write_sketch_tier), not a
-        per-partition promote. Returns the row count written."""
+        The write replaces ONLY the bucket_date dirs the cascade
+        produced: coarse dates whose fine inputs already expired (the
+        whole point of keeping a coarser retention tier) survive a
+        re-compaction instead of being destroyed by a whole-tier swap.
+        A replaced date keeps its streaming applied-batch ledger — its
+        contents were derived from the fine tier, which the streaming
+        path feeds first, so previously-applied batches stay applied
+        (a wiped ledger would double-merge them on a sink retry).
+        Returns the row count written across replaced dates."""
         from .rollup import cascade_distinct_sketch
 
         if not any(self.sketch_dir(from_tier).glob("bucket_date=*")):
             return 0
         fine = self.read_sketch_tier(spark, from_tier).drop("bucket_date")
-        coarse = cascade_distinct_sketch(fine, to_tier)
-        # count from the persisted result, not before the write: the
-        # write is the one job; a pre-write count would run it twice
-        self.write_sketch_tier(coarse, to_tier)
-        return self.read_sketch_tier(spark, to_tier).count()
+        coarse = cascade_distinct_sketch(fine, to_tier) \
+            .withColumn("bucket_date", F.to_date("bucket_ts"))
+        staging = self.root / "_staging" / \
+            f"sketch-compact-{from_tier}-{to_tier}"
+        if staging.exists():
+            shutil.rmtree(staging)
+        (
+            _cluster_for_store(coarse, ["bucket_date"])
+            .write.mode("overwrite")
+            .partitionBy("bucket_date")
+            .parquet(str(staging))
+        )
+        out_root = self.sketch_dir(to_tier)
+        out_root.mkdir(parents=True, exist_ok=True)
+        replaced = []
+        for src in sorted(staging.glob("bucket_date=*")):
+            dst = out_root / src.name
+            old_ledger = dst / "_applied_batches.json"
+            if old_ledger.exists():
+                shutil.copy2(old_ledger, src / old_ledger.name)
+            if dst.exists():
+                shutil.rmtree(dst)
+            src.rename(dst)
+            replaced.append(src.name.split("=", 1)[1])
+        shutil.rmtree(staging, ignore_errors=True)
+        return (
+            self.read_sketch_tier(spark, to_tier)
+            .filter(F.col("bucket_date").cast("string").isin(replaced))
+            .count()
+        )
 
     def read_tier(self, spark: SparkSession, tier: str) -> DataFrame:
         # the one-pass writer stores tier as a partition directory, not a

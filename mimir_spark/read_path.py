@@ -192,7 +192,13 @@ def _step_bucket(ts_col: str, step_us: int):
 
 
 def parse_step(step: str) -> int:
-    """'90s' / '5m' / '2h' / '1d' / '1w' -> microseconds."""
+    """'90s' / '5m' / '2h' / '1d' / '1w' -> microseconds.
+
+    All steps are EPOCH-aligned (_step_bucket): a '1w' bucket starts
+    on Thursdays (1970-01-01 was a Thursday), exactly like PromQL's
+    range-vector alignment — not on Mondays. Weekly dashboards that
+    need calendar weeks should aggregate the served '1d' buckets
+    client-side (or post-group with date_trunc('week', ...))."""
     import re
 
     m = re.fullmatch(r"(\d+)([smhdw])", step.strip())

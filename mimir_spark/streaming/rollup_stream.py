@@ -97,6 +97,21 @@ def _bucket_ntz(col):
         f"/ 1000000)")
 
 
+_TIER_UNIT = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
+
+
+def _deduped_points(stream: DataFrame, watermark: str) -> DataFrame:
+    """Shared streaming preamble: event-time column + watermark +
+    in-watermark (conv_id, turn_idx) dedup + metric explode. Every
+    streaming operator starts here so the dedup keys / event-time
+    rules can never drift between them."""
+    deduped = (
+        _as_event_time(stream).withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    )
+    return stream_turn_metrics(deduped)  # watermark propagates
+
+
 def streaming_rollup(stream: DataFrame, tier: str = "1m",
                      watermark: str = "10 minutes") -> DataFrame:
     """Continuous tier aggregates with event-time watermarking.
@@ -106,12 +121,8 @@ def streaming_rollup(stream: DataFrame, tier: str = "1m",
     become searchable at sync-to-disk". Duplicate (conv_id, turn_idx)
     arrivals inside the watermark are suppressed before aggregation.
     """
-    unit = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
-    deduped = (
-        _as_event_time(stream).withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
-    )
-    points = stream_turn_metrics(deduped)  # watermark propagates
+    unit = _TIER_UNIT[tier]
+    points = _deduped_points(stream, watermark)
     return (
         points
         .groupBy(F.window("ts", unit).alias("w"),
@@ -143,12 +154,8 @@ def streaming_distinct_sketch(stream: DataFrame, tier: str = "1m",
     losslessly union-able output — a foreachBatch sink can merge
     emitted rows straight into a TieredStore sketch tier.
     """
-    unit = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}[tier]
-    deduped = (
-        _as_event_time(stream).withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
-    )
-    points = stream_turn_metrics(deduped)
+    unit = _TIER_UNIT[tier]
+    points = _deduped_points(stream, watermark)
     return (
         points
         .groupBy(F.window("ts", unit).alias("w"),
@@ -177,7 +184,7 @@ _NTZ_TO_INSTANT = ("timestamp_seconds(timestampdiff(SECOND, "
                    "timestamp_ntz'1970-01-01 00:00:00', bucket_ts))")
 
 
-def sketch_store_sink(store, tier: str):
+def sketch_store_sink(store, tier: str, app_id: str = "stream"):
     """foreachBatch sink merging streamed distinct sketches into a
     TieredStore sketch tier — the production end of
     streaming_distinct_sketch: emitted closed buckets union (HLL +
@@ -192,58 +199,124 @@ def sketch_store_sink(store, tier: str):
     per batch would be O(tier), not O(batch)).
 
     Exactly-once under foreachBatch's at-least-once retries: each date
-    dir carries its own applied-batch ledger, written into the staged
-    dir BEFORE the atomic directory swap. A retry skips dates whose
-    ledger already lists the batch and re-merges only the dates the
-    crash left unswapped — per-date exactly-once with no external
+    dir carries its own applied-batch ledger listing
+    ``"{app_id}/{batch_id}"`` entries, written into the staged dir
+    BEFORE the directory swap. A retry skips dates whose ledger
+    already lists the batch and re-merges only the dates the crash
+    left unswapped — per-date exactly-once with no external
     transaction log.
+
+    ``app_id`` is the Delta ``txnAppId`` pattern: batch ids restart at
+    0 whenever a query starts from a FRESH checkpoint, so ledger
+    entries are scoped to the logical stream incarnation. The recovery
+    contract: restarting from the same checkpoint keeps the same
+    app_id (retries dedup correctly); wiping the checkpoint means the
+    source replays from scratch, so the caller must pass a NEW app_id
+    AND start from a fresh/cleared tier — reusing the old app_id would
+    silently drop the replayed batches, reusing the old tier would
+    double-merge them.
+
+    Swap protocol (crash-safe at every window): build
+    ``.stage-{d}-…`` (ledger written LAST = completion marker), rename
+    the live dir to ``.old-{d}-…``, rename staged in, drop old. On
+    entry each date first repairs whatever a crash left: a complete
+    staged dir with no live dir is rolled FORWARD (rename in); an
+    ``.old`` dir with no live dir is rolled BACK (the staged merge
+    never landed); incomplete staged dirs are discarded. No window
+    loses the date dir: the data is always in at least one of
+    live/staged-complete/old.
     """
     import json
     import shutil
 
+    entry = None  # set per batch: f"{app_id}/{batch_id}"
+
+    def _complete(staged) -> bool:
+        """A staged dir is complete iff its ledger (written last)
+        lists the current batch entry."""
+        led = staged / _SKETCH_LEDGER
+        try:
+            return led.exists() and entry in json.loads(led.read_text())
+        except (ValueError, OSError):
+            return False
+
+    def _repair(root, d: str) -> bool:
+        """Roll a crashed swap for date ``d`` forward or back.
+        Returns True if the current batch entry is already live
+        (so the merge must be skipped)."""
+        ddir = root / f"bucket_date={d}"
+        staged = root / f".stage-{d}-{app_id}-{batch_key}"
+        old = root / f".old-{d}-{app_id}-{batch_key}"
+        if not ddir.exists():
+            if _complete(staged):
+                # crashed between live->old and staged->live
+                staged.rename(ddir)
+            elif old.exists():
+                # crashed after live->old with no landable staged
+                old.rename(ddir)
+        if ddir.exists():
+            led = ddir / _SKETCH_LEDGER
+            if led.exists() and entry in json.loads(led.read_text()):
+                # batch already applied; drop swap debris
+                shutil.rmtree(old, ignore_errors=True)
+                shutil.rmtree(staged, ignore_errors=True)
+                return True
+        return False
+
     def write(batch_df: DataFrame, batch_id: int) -> None:
         from ..rollup import _union_sketches
 
+        nonlocal entry, batch_key
+        batch_key = str(batch_id)
+        entry = f"{app_id}/{batch_id}"
         cols = ["kind", "series_key", "metric", "bucket_ts", "cnt",
                 "distinct_sketch"]
         new = (
             batch_df.withColumn("bucket_ts", F.expr(_NTZ_TO_INSTANT))
             .select(*cols)
             .withColumn("bucket_date", F.to_date("bucket_ts"))
-        )
-        # 1-2 closed dates per batch: a bounded driver-side list
-        dates = sorted(str(r[0]) for r in
-                       new.select("bucket_date").distinct().collect())
-        if not dates:
-            return
-        spark = batch_df.sparkSession
-        root = store.sketch_dir(tier)
-        root.mkdir(parents=True, exist_ok=True)
-        for d in dates:
-            ddir = root / f"bucket_date={d}"
-            ledger = ddir / _SKETCH_LEDGER
-            applied = (json.loads(ledger.read_text())
-                       if ledger.exists() else [])
-            if batch_id in applied:
-                continue
-            part = new.filter(F.col("bucket_date") == d).drop("bucket_date")
-            if any(ddir.glob("*.parquet")):
-                part = spark.read.parquet(str(ddir)) \
-                    .select(*cols).unionByName(part)
-            merged = _union_sketches(
-                part, F.col("bucket_ts").alias("bucket_ts"), F.lit(tier))
-            staged = root / f".stage-{d}-{batch_id}"
-            if staged.exists():
-                shutil.rmtree(staged)
-            merged.coalesce(1).sortWithinPartitions(
-                "kind", "series_key", "metric", "bucket_ts") \
-                .write.mode("overwrite").parquet(str(staged))
-            (staged / _SKETCH_LEDGER).write_text(
-                json.dumps(applied + [batch_id]))
-            if ddir.exists():
-                shutil.rmtree(ddir)
-            staged.rename(ddir)
+        ).persist()
+        try:
+            # 1-2 closed dates per batch: a bounded driver-side list
+            dates = sorted(str(r[0]) for r in
+                           new.select("bucket_date").distinct().collect())
+            if not dates:
+                return
+            spark = batch_df.sparkSession
+            root = store.sketch_dir(tier)
+            root.mkdir(parents=True, exist_ok=True)
+            for d in dates:
+                if _repair(root, d):
+                    continue
+                ddir = root / f"bucket_date={d}"
+                ledger = ddir / _SKETCH_LEDGER
+                applied = (json.loads(ledger.read_text())
+                           if ledger.exists() else [])
+                part = new.filter(F.col("bucket_date") == d) \
+                    .drop("bucket_date")
+                if any(ddir.glob("*.parquet")):
+                    part = spark.read.parquet(str(ddir)) \
+                        .select(*cols).unionByName(part)
+                merged = _union_sketches(
+                    part, F.col("bucket_ts").alias("bucket_ts"),
+                    F.lit(tier))
+                staged = root / f".stage-{d}-{app_id}-{batch_key}"
+                if staged.exists():
+                    shutil.rmtree(staged)
+                merged.coalesce(1).sortWithinPartitions(
+                    "kind", "series_key", "metric", "bucket_ts") \
+                    .write.mode("overwrite").parquet(str(staged))
+                (staged / _SKETCH_LEDGER).write_text(
+                    json.dumps(applied + [entry]))
+                old = root / f".old-{d}-{app_id}-{batch_key}"
+                if ddir.exists():
+                    ddir.rename(old)
+                staged.rename(ddir)
+                shutil.rmtree(old, ignore_errors=True)
+        finally:
+            new.unpersist()
 
+    batch_key = ""
     return write
 
 
@@ -349,11 +422,7 @@ def streaming_rollup_chunks(stream: DataFrame, tier: str = "1m",
         else:
             state.remove()
 
-    deduped = (
-        _as_event_time(stream).withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
-    )
-    points = stream_turn_metrics(deduped).withColumn(
+    points = _deduped_points(stream, watermark).withColumn(
         "ts_us", F.unix_micros("ts"))
     return (
         points.groupBy("kind", "series_key", "metric")

@@ -363,6 +363,52 @@ def test_compact_sketch_tier_equals_direct(spark, t_small_df, tmp_path):
     assert out.count() > 0
 
 
+def test_compact_sketch_tier_preserves_expired_dates_and_ledgers(
+        spark, t_small_df, tmp_path):
+    """Re-compaction after the fine tier expired old dates must NOT
+    destroy the coarse tier's history for those dates (that history
+    surviving fine-tier expiry is the point of retention tiers), and a
+    replaced date keeps its streaming applied-batch ledger so a sink
+    retry stays a no-op."""
+    import json
+
+    from mimir_spark.rollup import rollup_distinct_sketch
+
+    s = TieredStore(tmp_path / "sk_keep")
+    points = turn_metrics(ingest(t_small_df))
+    s.write_sketch_tier(rollup_distinct_sketch(points, "1m"), "1m")
+    s.compact_sketch_tier(spark, "1m", "1h")
+
+    coarse_dates = sorted(d.name.split("=", 1)[1]
+                          for d in s.sketch_dir("1h").glob("bucket_date=*"))
+    assert len(coarse_dates) > 1
+    cutoff = coarse_dates[-1]
+    old_dates = [d for d in coarse_dates if d < cutoff]
+    before_old = s.read_sketch_tier(spark, "1h") \
+        .filter(F.col("bucket_date").cast("string").isin(old_dates)) \
+        .agg(F.sum("cnt"), F.count("*")).first()
+
+    # fine tier ages out; the coarse keep-date gains a streaming ledger
+    for ddir in s.sketch_dir("1m").glob("bucket_date=*"):
+        if ddir.name.split("=", 1)[1] < cutoff:
+            import shutil
+            shutil.rmtree(ddir)
+    keep_dir = s.sketch_dir("1h") / f"bucket_date={cutoff}"
+    (keep_dir / "_applied_batches.json").write_text(
+        json.dumps(["stream/7"]))
+
+    n = s.compact_sketch_tier(spark, "1m", "1h")
+    # only the still-present fine date was recomputed and counted
+    assert n == s.read_sketch_tier(spark, "1h") \
+        .filter(F.col("bucket_date").cast("string") == cutoff).count()
+    after_old = s.read_sketch_tier(spark, "1h") \
+        .filter(F.col("bucket_date").cast("string").isin(old_dates)) \
+        .agg(F.sum("cnt"), F.count("*")).first()
+    assert list(after_old) == list(before_old)  # history intact
+    assert json.loads(
+        (keep_dir / "_applied_batches.json").read_text()) == ["stream/7"]
+
+
 def test_query_range_distinct_tier_autoselect_present_only(
         spark, t_small_df, tmp_path):
     """tier=None selects among sketch tiers that actually exist: a

@@ -324,14 +324,16 @@ def test_sketch_store_sink_end_to_end(spark, t_small_df, stream_dir,
 
     # retry idempotence: re-deliver an applied batch id with data that
     # would double every cnt if it were merged (the ledger is
-    # per-date, inside each swapped bucket_date dir)
+    # per-date, inside each swapped bucket_date dir; entries are
+    # "{app_id}/{batch_id}" — the default sink app_id is "stream")
     import json
     ledgers = sorted(store.sketch_dir("1h")
                      .glob("bucket_date=*/_applied_batches.json"))
     assert ledgers
-    applied = sorted({b for f in ledgers
-                      for b in json.loads(f.read_text())})
-    assert applied
+    entries = sorted({e for f in ledgers
+                      for e in json.loads(f.read_text())})
+    assert entries and all(e.startswith("stream/") for e in entries)
+    applied = sorted(int(e.split("/", 1)[1]) for e in entries)
     poison = store.read_sketch_tier(spark, "1h") \
         .select("kind", "series_key", "metric",
                 F.expr("cast(bucket_ts as timestamp_ntz)")
@@ -363,7 +365,7 @@ def test_sketch_store_sink_end_to_end(spark, t_small_df, stream_dir,
     bid = max(applied) + 2
     done_applied = json.loads((d_done / "_applied_batches.json").read_text())
     (d_done / "_applied_batches.json").write_text(
-        json.dumps(done_applied + [bid]))
+        json.dumps(done_applied + [f"stream/{bid}"]))
     fresh = store.read_sketch_tier(spark, "1h") \
         .select("kind", "series_key", "metric",
                 F.expr("cast(bucket_ts as timestamp_ntz)")
@@ -389,3 +391,77 @@ def test_sketch_store_sink_end_to_end(spark, t_small_df, stream_dir,
     # and the tier serves the dashboard verb
     assert query_range_distinct(spark, store, "turn_rate", step="2h",
                                 kind="conv", tier="1h").count() > 0
+
+
+def test_sketch_sink_crash_windows_and_app_id(spark, t_small_df, tmp_path):
+    """The sink's swap protocol never loses a date dir, whichever
+    window a crash lands in, and ledger entries are scoped per app_id
+    (Delta txnAppId pattern — fresh-checkpoint restarts under a new
+    app_id re-merge instead of silently dropping)."""
+    import json
+    import shutil
+
+    from mimir_spark.lineage import TieredStore
+    from mimir_spark.rollup import rollup_distinct_sketch
+    from mimir_spark.streaming.rollup_stream import (
+        _SKETCH_LEDGER, sketch_store_sink)
+
+    store = TieredStore(tmp_path / "crash_store")
+    sink = sketch_store_sink(store, "1h", app_id="appA")
+    batch = rollup_distinct_sketch(
+        turn_metrics(ingest(t_small_df)), "1h") \
+        .select("kind", "series_key", "metric",
+                F.expr("cast(bucket_ts as timestamp_ntz)")
+                .alias("bucket_ts"),
+                "cnt", "distinct_sketch")
+    sink(batch, 0)
+    root = store.sketch_dir("1h")
+    dates = sorted(root.glob("bucket_date=*"))
+    assert dates
+    base = store.read_sketch_tier(spark, "1h") \
+        .select(*KEY, "cnt").toPandas() \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+
+    d = dates[0].name.split("=", 1)[1]
+    ddir = root / f"bucket_date={d}"
+
+    # window A: crash between live->old and staged->live during batch 1
+    # (complete staged + old present, live missing) -> retry rolls the
+    # staged merge FORWARD and the ledger gains appA/1
+    staged = root / f".stage-{d}-appA-1"
+    shutil.copytree(ddir, staged)
+    led = json.loads((staged / _SKETCH_LEDGER).read_text())
+    (staged / _SKETCH_LEDGER).write_text(json.dumps(led + ["appA/1"]))
+    ddir.rename(root / f".old-{d}-appA-1")
+    sink(batch, 1)  # retry: repairs date d, merges the other dates
+    assert ddir.exists()
+    assert "appA/1" in json.loads((ddir / _SKETCH_LEDGER).read_text())
+    assert not (root / f".old-{d}-appA-1").exists()
+    assert not staged.exists()
+
+    # window B: crash after live->old with an INCOMPLETE staged dir
+    # (no ledger) during batch 2 -> retry rolls BACK to the old data,
+    # then re-merges normally
+    staged2 = root / f".stage-{d}-appA-2"
+    staged2.mkdir()
+    ddir.rename(root / f".old-{d}-appA-2")
+    before = json.loads((root / f".old-{d}-appA-2" / _SKETCH_LEDGER)
+                        .read_text())
+    sink(batch, 2)
+    assert ddir.exists()
+    after = json.loads((ddir / _SKETCH_LEDGER).read_text())
+    assert after == before + ["appA/2"]
+    assert not (root / f".old-{d}-appA-2").exists()
+
+    # app_id scoping: batch id 0 under a DIFFERENT app_id is a new
+    # transaction (merges), while under the same app_id it's a no-op
+    batch_total = int(base["cnt"].sum())
+    cnt_before = store.read_sketch_tier(spark, "1h") \
+        .agg(F.sum("cnt")).first()[0]
+    sink(batch, 0)  # same app, applied -> skipped
+    assert store.read_sketch_tier(spark, "1h") \
+        .agg(F.sum("cnt")).first()[0] == cnt_before
+    sink_b = sketch_store_sink(store, "1h", app_id="appB")
+    sink_b(batch, 0)  # new incarnation -> merges
+    assert store.read_sketch_tier(spark, "1h") \
+        .agg(F.sum("cnt")).first()[0] == cnt_before + batch_total
