@@ -313,6 +313,17 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
                     ddir.rename(old)
                 staged.rename(ddir)
                 shutil.rmtree(old, ignore_errors=True)
+                # sweep debris earlier batches left behind (a crash
+                # after their swap landed but before their .old was
+                # removed): once THIS date's swap is live, any
+                # older-batch .old/.stage for it is safely dead —
+                # foreachBatch serializes batches, so an earlier
+                # batch's merge either landed (entry live) or was
+                # re-merged by its own retry before this one ran
+                for stale in root.glob(f".old-{d}-*"):
+                    shutil.rmtree(stale, ignore_errors=True)
+                for stale in root.glob(f".stage-{d}-*"):
+                    shutil.rmtree(stale, ignore_errors=True)
         finally:
             new.unpersist()
 

@@ -465,3 +465,11 @@ def test_sketch_sink_crash_windows_and_app_id(spark, t_small_df, tmp_path):
     sink_b(batch, 0)  # new incarnation -> merges
     assert store.read_sketch_tier(spark, "1h") \
         .agg(F.sum("cnt")).first()[0] == cnt_before + batch_total
+
+    # debris from an earlier batch whose post-swap cleanup crashed is
+    # swept when a later batch next touches the date
+    stale = root / f".old-{d}-appA-0"
+    stale.mkdir()
+    sink_b(batch, 1)
+    assert not stale.exists()
+    assert not list(root.glob(".old-*")) and not list(root.glob(".stage-*"))
