@@ -201,10 +201,15 @@ class TieredStore:
     def _stage_promote(self, df: DataFrame, tier: str, name: str) -> int:
         """Write ``df`` (must carry int column ``p`` and date column
         ``bucket_date``) as ONE staged Spark job partitioned by
-        (p, bucket_date), then atomically swap each staged ``p=``
-        directory into the tier. Idempotent: a crash mid-promote leaves
-        whole partitions either old or new, and re-running converges.
-        Returns the number of partitions promoted."""
+        (p, bucket_date), then atomically swap each staged
+        ``p=*/bucket_date=*`` LEAF into the tier. Leaf granularity
+        matters under tiered retention: the fine tier expires early
+        (that's its policy), so a re-compaction's output covers only
+        the fine tier's surviving dates — swapping whole ``p=`` dirs
+        would destroy the coarse tier's older history, the very data
+        the coarser retention exists to keep. Idempotent: a crash
+        mid-promote leaves each leaf either old or new, and re-running
+        converges. Returns the number of ``p=`` partitions touched."""
         staging = self.root / "_staging" / f"maint-{name}"
         if staging.exists():
             shutil.rmtree(staging)
@@ -214,16 +219,16 @@ class TieredStore:
             .partitionBy("p", "bucket_date")
             .parquet(str(staging))
         )
-        n = 0
-        for src in sorted(staging.glob("p=*")):
-            dst = self.tier_dir(tier) / src.name
+        touched = set()
+        for src in sorted(staging.glob("p=*/bucket_date=*")):
+            dst = self.tier_dir(tier) / src.parent.name / src.name
             if dst.exists():
                 shutil.rmtree(dst)
             dst.parent.mkdir(parents=True, exist_ok=True)
             src.rename(dst)
-            n += 1
+            touched.add(src.parent.name)
         shutil.rmtree(staging, ignore_errors=True)
-        return n
+        return len(touched)
 
     def compact_tier(self, spark: SparkSession, from_tier: str,
                      to_tier: str, max_points: int | None = None) -> int:

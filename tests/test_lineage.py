@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
 from mimir_spark.lineage import TieredStore, run_rollup_job
@@ -117,6 +118,42 @@ def test_compact_tier_equals_direct(spark, source, tmp_path):
     cols = [c for c in a.columns if c != "chunk"]
     pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
     assert all(bytes(x) == bytes(y) for x, y in zip(a["chunk"], b["chunk"]))
+
+
+def test_compact_preserves_expired_fine_dates(spark, source, tmp_path):
+    """Tiered retention's core contract: re-compacting after the fine
+    tier expired its old dates must NOT destroy the coarse tier's
+    history for those dates (the coarse tier's longer retention is the
+    whole reason it exists). _stage_promote therefore swaps
+    (p, bucket_date) LEAVES, never whole p= dirs."""
+    s = TieredStore(tmp_path / "keepstore")
+    run_rollup_job(spark, source, s, "jobk", num_partitions=3,
+                   tiers=("1m",))
+    s.compact_tier(spark, "1m", "1h")
+
+    coarse_dates = sorted({d.name.split("=", 1)[1]
+                           for d in s.tier_dir("1h").glob("p=*/bucket_date=*")})
+    assert len(coarse_dates) > 1
+    cutoff = coarse_dates[-1]
+    old_dates = [d for d in coarse_dates if d < cutoff]
+    before = s.read_tier(spark, "1h") \
+        .filter(F.col("bucket_date").cast("string").isin(old_dates)) \
+        .agg(F.sum("cnt"), F.sum("sum_v"), F.count("*")).first()
+
+    # the fine tier ages out per its (shorter) retention policy
+    s.expire("1m", cutoff)
+    assert all(d.name.split("=", 1)[1] >= cutoff
+               for d in s.tier_dir("1m").glob("p=*/bucket_date=*"))
+
+    n = s.compact_tier(spark, "1m", "1h")
+    assert n == 3  # every shard still has surviving dates to promote
+    after = s.read_tier(spark, "1h") \
+        .filter(F.col("bucket_date").cast("string").isin(old_dates)) \
+        .agg(F.sum("cnt"), F.sum("sum_v"), F.count("*")).first()
+    assert list(after) == list(before)  # coarse history intact
+    # and the surviving date was genuinely recomputed, not dropped
+    assert s.read_tier(spark, "1h") \
+        .filter(F.col("bucket_date").cast("string") == cutoff).count() > 0
 
 
 def test_compact_job_cli(spark, source, tmp_path, capsys):
