@@ -48,6 +48,11 @@ def main(argv=None) -> int:
                          "explicit so retention is replayable)")
     ap.add_argument("--upgrade", default="",
                     help="comma list of tiers to rewrite at the current codec version")
+    ap.add_argument("--since", default=None,
+                    help="incremental cascades: recompute only dates "
+                         ">= YYYY-MM-DD (exact — tier buckets nest "
+                         "within a date; older target dates untouched)."
+                         " Applies to --cascade and --cascade-sketch")
     ap.add_argument("--max-points", type=int, default=None)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -60,7 +65,8 @@ def main(argv=None) -> int:
 
     for pair in filter(None, args.cascade.split(",")):
         frm, to = pair.split(":")
-        n = store.compact_tier(spark, frm, to, max_points=args.max_points)
+        n = store.compact_tier(spark, frm, to, max_points=args.max_points,
+                               since=args.since)
         print(f"cascade {frm}->{to}: {n} partitions")
     if args.cascade_sketch and not hasattr(store, "compact_sketch_tier"):
         ap.error(f"--cascade-sketch: the {type(store).__name__} backend "
@@ -68,7 +74,7 @@ def main(argv=None) -> int:
                  f"only for now)")
     for pair in filter(None, args.cascade_sketch.split(",")):
         frm, to = pair.split(":")
-        n = store.compact_sketch_tier(spark, frm, to)
+        n = store.compact_sketch_tier(spark, frm, to, since=args.since)
         print(f"cascade-sketch {frm}->{to}: {n} rows")
     for pair in filter(None, args.expire.split(",")):
         tier, cutoff = pair.split(":")

@@ -115,12 +115,15 @@ class TieredStore:
         )
 
     def compact_sketch_tier(self, spark: SparkSession, from_tier: str,
-                            to_tier: str) -> int:
+                            to_tier: str, since: str | None = None) -> int:
         """Derive a coarser DISTINCT-sketch tier from a finer one by
         HLL union (rollup.cascade_distinct_sketch) — the sketch-tier
         counterpart of compact_tier: sketch union is exact over the
         sketch state, so the derived tier's estimates are identical to
         sketching the raw points at the coarser bucket directly.
+        ``since`` (inclusive YYYY-MM-DD) restricts the recompute to
+        recent dates — the nightly-maintenance shape: O(new dates)
+        read and written, older coarse dates untouched.
 
         The write replaces ONLY the bucket_date dirs the cascade
         produced: coarse dates whose fine inputs already expired (the
@@ -135,7 +138,15 @@ class TieredStore:
 
         if not any(self.sketch_dir(from_tier).glob("bucket_date=*")):
             return 0
-        fine = self.read_sketch_tier(spark, from_tier).drop("bucket_date")
+        fine = self.read_sketch_tier(spark, from_tier)
+        if since is not None:
+            # incremental maintenance: every tier bucket nests within
+            # one date, so recomputing only dates >= since is exact —
+            # and bucket_date is the partition column, so the filter
+            # prunes the scan to the affected date dirs (O(recent),
+            # not O(tier))
+            fine = fine.filter(F.col("bucket_date") >= F.lit(since))
+        fine = fine.drop("bucket_date")
         coarse = cascade_distinct_sketch(fine, to_tier) \
             .withColumn("bucket_date", F.to_date("bucket_ts"))
         staging = self.root / "_staging" / \
@@ -231,7 +242,8 @@ class TieredStore:
         return len(touched)
 
     def compact_tier(self, spark: SparkSession, from_tier: str,
-                     to_tier: str, max_points: int | None = None) -> int:
+                     to_tier: str, max_points: int | None = None,
+                     since: str | None = None) -> int:
         """Derive a coarser tier from a finer one — the periodic
         compaction job (MimirIndex.requestCompactIndex /
         AtomicIndex.compactIndex analogue, AtomicIndex.java:1280-1366).
@@ -245,15 +257,26 @@ class TieredStore:
         run_rollup_job trick), and the staged output is promoted with
         atomic per-partition replaces. The previous revision submitted
         one serialized driver job per partition (256 submissions at
-        P=256). Returns partitions written."""
+        P=256). ``since`` (inclusive YYYY-MM-DD) makes the run
+        incremental: every tier bucket nests within one date, so
+        recomputing only dates >= since is exact, the bucket_date
+        partition filter prunes the fine-tier scan to those dates, and
+        the leaf-granular promote leaves older coarse dates untouched
+        — nightly maintenance is O(new dates), not O(tier).
+        Returns partitions written."""
         from .rollup import cascade
 
         src_dir = self.tier_dir(from_tier)
         if not any(src_dir.glob("p=*")):
             return 0
-        fine = (
-            spark.read.option("basePath", str(src_dir))
+        fine = spark.read.option("basePath", str(src_dir)) \
             .parquet(str(src_dir / "p=*"))
+        if since is not None:
+            # partition-column filter: prunes the scan to date dirs
+            # >= since before any row is read
+            fine = fine.filter(F.col("bucket_date") >= F.lit(since))
+        fine = (
+            fine
             .withColumn("tier", F.lit(from_tier))
             .withColumn("kind", F.concat(F.col("p").cast("string"),
                                          F.lit("|"), F.col("kind")))

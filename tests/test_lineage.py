@@ -156,6 +156,95 @@ def test_compact_preserves_expired_fine_dates(spark, source, tmp_path):
         .filter(F.col("bucket_date").cast("string") == cutoff).count() > 0
 
 
+def _assert_date_partition_filter(df):
+    """The bucket_date predicate must land in the scan's
+    PartitionFilters (pruned at listing time), not in data filters."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "bucket_date" in pf[1].split("]", 1)[0], plan
+
+
+def _leaf_snapshot(root, pattern):
+    """(path -> (size, mtime_ns)) for every parquet file under the
+    matching leaves — identity evidence that dirs went untouched."""
+    return {str(f): (f.stat().st_size, f.stat().st_mtime_ns)
+            for leaf in root.glob(pattern) for f in leaf.glob("*.parquet")}
+
+
+def test_incremental_compact_since(spark, source, tmp_path):
+    """compact_tier(since=d) recomputes only dates >= d: the result
+    equals the full recompute on those dates, older coarse leaves are
+    bit-untouched (same files, sizes, mtimes), and the fine-tier scan
+    prunes to the selected date dirs via PartitionFilters."""
+    s = TieredStore(tmp_path / "incstore")
+    run_rollup_job(spark, source, s, "jobi", num_partitions=3,
+                   tiers=("1m",))
+    s.compact_tier(spark, "1m", "1h")
+    full = s.read_tier(spark, "1h").drop("chunk").toPandas()
+    key = ["p", "kind", "series_key", "metric", "bucket_ts"]
+    full = full.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+    dates = sorted({d.name.split("=", 1)[1]
+                    for d in s.tier_dir("1m").glob("p=*/bucket_date=*")})
+    assert len(dates) > 1
+    cutoff = dates[-1]
+    old_before = _leaf_snapshot(s.tier_dir("1h"),
+                                f"p=*/bucket_date={dates[0]}")
+    assert old_before
+
+    n = s.compact_tier(spark, "1m", "1h", since=cutoff)
+    assert n == 3
+    got = s.read_tier(spark, "1h").drop("chunk").toPandas() \
+        .sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, full, check_dtype=False)
+    # older coarse leaves: the same files, byte-for-byte untouched
+    assert _leaf_snapshot(s.tier_dir("1h"),
+                          f"p=*/bucket_date={dates[0]}") == old_before
+    # and the since filter reaches the scan as a partition filter
+    src = spark.read.option("basePath", str(s.tier_dir("1m"))) \
+        .parquet(str(s.tier_dir("1m") / "p=*")) \
+        .filter(F.col("bucket_date") >= F.lit(cutoff))
+    _assert_date_partition_filter(src)
+
+
+def test_incremental_sketch_compact_since(spark, source, tmp_path):
+    """compact_sketch_tier(since=d): same incremental contract for
+    sketch tiers — recomputed dates match the full cascade, older
+    date dirs bit-untouched, partition-pruned fine scan."""
+    from mimir_spark.ingest import ingest, turn_metrics
+    from mimir_spark.rollup import rollup_distinct_sketch
+
+    s = TieredStore(tmp_path / "incsk")
+    pts = turn_metrics(ingest(source()))
+    s.write_sketch_tier(rollup_distinct_sketch(pts, "1m"), "1m")
+    s.compact_sketch_tier(spark, "1m", "1h")
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    full = s.read_sketch_tier(spark, "1h") \
+        .select(*key, "cnt", "n_distinct").toPandas() \
+        .sort_values(key, kind="mergesort").reset_index(drop=True)
+
+    dates = sorted(d.name.split("=", 1)[1]
+                   for d in s.sketch_dir("1m").glob("bucket_date=*"))
+    assert len(dates) > 1
+    cutoff = dates[-1]
+    old_before = _leaf_snapshot(s.sketch_dir("1h"),
+                                f"bucket_date={dates[0]}")
+    assert old_before
+
+    n = s.compact_sketch_tier(spark, "1m", "1h", since=cutoff)
+    assert n > 0
+    got = s.read_sketch_tier(spark, "1h") \
+        .select(*key, "cnt", "n_distinct").toPandas() \
+        .sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, full, check_dtype=False)
+    assert _leaf_snapshot(s.sketch_dir("1h"),
+                          f"bucket_date={dates[0]}") == old_before
+    _assert_date_partition_filter(
+        s.read_sketch_tier(spark, "1m")
+        .filter(F.col("bucket_date") >= F.lit(cutoff)))
+
+
 def test_compact_job_cli(spark, source, tmp_path, capsys):
     import sys as _sys
 
