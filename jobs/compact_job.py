@@ -57,43 +57,55 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
+    # parse + validate EVERY verb before any Spark work: a malformed
+    # spec or unsupported backend must fail in milliseconds, not after
+    # hours of compaction that happen to precede it in execution order
+    def _pairs(flag: str, value: str) -> list[tuple[str, str]]:
+        out = []
+        for spec in filter(None, value.split(",")):
+            if spec.count(":") != 1 or not all(spec.split(":")):
+                ap.error(f"{flag} entries must be colon pairs, "
+                         f"got {spec!r}")
+            out.append(tuple(spec.split(":")))
+        return out
+
+    cascades = _pairs("--cascade", args.cascade)
+    sketch_cascades = _pairs("--cascade-sketch", args.cascade_sketch)
+    expires = _pairs("--expire", args.expire)
+    retain_pairs = _pairs("--retain", args.retain)
+    if retain_pairs and not args.as_of:
+        ap.error("--retain needs --as-of (the logical run date)")
+    upgrades = [t for t in args.upgrade.split(",") if t]
+
     from mimir_spark.lineage import tiered_store
     from mimir_spark.session import get_spark
 
     spark = get_spark("compact-job", cpus=args.cpus)
     store = tiered_store(args.store, spark)
 
-    for pair in filter(None, args.cascade.split(",")):
-        frm, to = pair.split(":")
-        n = store.compact_tier(spark, frm, to, max_points=args.max_points,
-                               since=args.since)
-        print(f"cascade {frm}->{to}: {n} partitions")
-    if args.cascade_sketch and not hasattr(store, "compact_sketch_tier"):
+    if sketch_cascades and not hasattr(store, "compact_sketch_tier"):
         ap.error(f"--cascade-sketch: the {type(store).__name__} backend "
                  f"does not support sketch tiers (parquet TieredStore "
                  f"only for now)")
-    for pair in filter(None, args.cascade_sketch.split(",")):
-        frm, to = pair.split(":")
+    for frm, to in cascades:
+        n = store.compact_tier(spark, frm, to, max_points=args.max_points,
+                               since=args.since)
+        print(f"cascade {frm}->{to}: {n} partitions")
+    for frm, to in sketch_cascades:
         n = store.compact_sketch_tier(spark, frm, to, since=args.since)
         print(f"cascade-sketch {frm}->{to}: {n} rows")
-    for pair in filter(None, args.expire.split(",")):
-        tier, cutoff = pair.split(":")
+    for tier, cutoff in expires:
         dropped = store.expire(tier, cutoff)
         print(f"expire {tier} < {cutoff}: {len(dropped)} date partitions dropped")
-    if args.retain:
-        if not args.as_of:
-            ap.error("--retain needs --as-of (the logical run date)")
+    if retain_pairs:
         from mimir_spark.lineage import apply_retention
 
-        pairs = [p.split(":") for p in filter(None, args.retain.split(","))]
-        if any(len(p) != 2 for p in pairs):
-            ap.error(f"--retain entries must be tier:keep, got {args.retain!r}")
-        policy = dict(pairs)
+        policy = dict(retain_pairs)
         for tier, dropped in apply_retention(store, policy,
                                              args.as_of).items():
             print(f"retain {tier} ({policy[tier]}): "
                   f"{len(dropped)} date partitions dropped")
-    for tier in filter(None, args.upgrade.split(",")):
+    for tier in upgrades:
         n = store.upgrade_tier(spark, tier, max_points=args.max_points)
         print(f"upgrade {tier}: {n} partitions rewritten")
     return 0

@@ -57,8 +57,18 @@ def main(argv=None) -> int:
     # rollup runs, not at the post-job step that consumes it
     by_col: dict[str, list[str]] = {}
     tier_owner: dict[str, str] = {}
+    if args.distinct_sketch:
+        from mimir_spark.rollup import TIER_US
     for spec in filter(None, args.distinct_sketch.split(",")):
+        if ":" not in spec:
+            ap.error(f"--distinct-sketch entries must be tier:column, "
+                     f"got {spec!r}")
         tier, col = spec.split(":", 1)
+        if tier not in TIER_US:
+            ap.error(f"--distinct-sketch: unknown tier {tier!r} "
+                     f"(expected one of {sorted(TIER_US)})")
+        if not col:
+            ap.error(f"--distinct-sketch: empty column in {spec!r}")
         # sketch dirs are keyed by tier alone (sketch={tier}) — a
         # tier requested for two columns would silently overwrite
         # one column's sketches with the other's

@@ -160,18 +160,41 @@ class TieredStore:
             .parquet(str(staging))
         )
         out_root = self.sketch_dir(to_tier)
+        existed = out_root.exists()
         out_root.mkdir(parents=True, exist_ok=True)
+        # repair a previously crashed swap BEFORE touching ledgers: an
+        # orphan .old dir with no live dir is rolled back (its data —
+        # and crucially its streaming ledger, which lives nowhere
+        # else — must survive); with a live dir it is leftover debris
+        for old in out_root.glob(".old-*"):
+            dst = out_root / f"bucket_date={old.name[len('.old-'):]}"
+            if dst.exists():
+                shutil.rmtree(old)
+            else:
+                old.rename(dst)
         replaced = []
         for src in sorted(staging.glob("bucket_date=*")):
+            d = src.name.split("=", 1)[1]
             dst = out_root / src.name
             old_ledger = dst / "_applied_batches.json"
             if old_ledger.exists():
                 shutil.copy2(old_ledger, src / old_ledger.name)
+            # rename/rename/rm, never rmtree-then-rename: a crash
+            # between the renames leaves the date (and its ledger) in
+            # .old, restored by the repair pass above on the next run
+            old = out_root / f".old-{d}"
             if dst.exists():
-                shutil.rmtree(dst)
+                dst.rename(old)
             src.rename(dst)
-            replaced.append(src.name.split("=", 1)[1])
+            shutil.rmtree(old, ignore_errors=True)
+            replaced.append(d)
         shutil.rmtree(staging, ignore_errors=True)
+        if not replaced:
+            # e.g. `since` past every fine date: nothing written; do
+            # not leave behind (or try to read) an empty tier dir
+            if not existed:
+                shutil.rmtree(out_root, ignore_errors=True)
+            return 0
         return (
             self.read_sketch_tier(spark, to_tier)
             .filter(F.col("bucket_date").cast("string").isin(replaced))

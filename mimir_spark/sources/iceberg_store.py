@@ -102,11 +102,18 @@ class IcebergTieredStore:
         return [f"{self.table}/tier={tier}/bucket_date<{cutoff_date}"]
 
     def compact_tier(self, spark: SparkSession, from_tier: str,
-                     to_tier: str, max_points: int | None = None) -> int:
+                     to_tier: str, max_points: int | None = None,
+                     since: str | None = None) -> int:
         from ..rollup import cascade
 
+        fine = self.read_tier(spark, from_tier)
+        if since is not None:
+            # incremental maintenance: buckets nest within a date, so
+            # recomputing only dates >= since is exact; bucket_date is
+            # an Iceberg partition column, so this prunes at planning
+            fine = fine.filter(F.col("bucket_date") >= F.lit(since))
         fine = (
-            self.read_tier(spark, from_tier)
+            fine
             .withColumn("kind", F.concat(F.col("p").cast("string"),
                                          F.lit("|"), F.col("kind")))
             .drop("bucket_date", "p")
@@ -118,21 +125,30 @@ class IcebergTieredStore:
             .withColumn("kind", parts.getItem(1))
             .withColumn("bucket_date", F.to_date("bucket_ts"))
         )
-        # shard-scoped conditional overwrite: replace the target tier
-        # ONLY for shards the cascade produced (whole-tier overwrite
-        # would wipe coarse history for shards absent from the source
-        # — e.g. after the fine tier expired; shard-absent history must
-        # survive, matching the parquet backend's per-dir replace)
-        shards = [int(r["p"]) for r in out.select("p").distinct().collect()]
-        if not shards:
+        # leaf-scoped conditional overwrite: replace ONLY the
+        # (p, bucket_date) combinations the cascade produced — a
+        # whole-tier (or whole-shard) overwrite would wipe coarse
+        # history absent from the source, e.g. dates the fine tier
+        # already expired; that history must survive, matching the
+        # parquet backend's leaf-granular promote. The predicate is a
+        # bounded per-shard disjunction (P x dates driver-side rows).
+        leaves = out.groupBy("p").agg(
+            F.collect_set(F.col("bucket_date").cast("string"))
+            .alias("dates")).collect()
+        if not leaves:
             return 0
+        pred = None
+        for r in leaves:
+            clause = (F.col("p") == int(r["p"])) & \
+                F.col("bucket_date").cast("string").isin(list(r["dates"]))
+            pred = clause if pred is None else (pred | clause)
         out.writeTo(self.table).overwrite(
-            (F.col("tier") == to_tier) & F.col("p").isin(shards))
+            (F.col("tier") == to_tier) & pred)
         # bin-pack small files produced by the overwrite
         self.spark.sql(
             f"CALL {self._catalog()}.system.rewrite_data_files"
             f"(table => '{self.table}', where => 'tier = ''{to_tier}''')")
-        return len(shards)
+        return len(leaves)
 
     def _catalog(self) -> str:
         """Catalog component for system-procedure CALLs: a 3-part

@@ -231,12 +231,22 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
 
     entry = None  # set per batch: f"{app_id}/{batch_id}"
 
+    def _load_ledger(led) -> list:
+        """Read a ledger, normalizing bare-int entries written by the
+        pre-app_id sink to the CURRENT app_id: those entries came from
+        the same checkpoint lineage this query resumed (a fresh
+        incarnation starts with a fresh tier per the recovery
+        contract), so they are this incarnation's applied batches —
+        without the mapping, an upgraded sink would re-merge them."""
+        return [f"{app_id}/{e}" if isinstance(e, int) else e
+                for e in json.loads(led.read_text())]
+
     def _complete(staged) -> bool:
         """A staged dir is complete iff its ledger (written last)
         lists the current batch entry."""
         led = staged / _SKETCH_LEDGER
         try:
-            return led.exists() and entry in json.loads(led.read_text())
+            return led.exists() and entry in _load_ledger(led)
         except (ValueError, OSError):
             return False
 
@@ -256,7 +266,7 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
                 old.rename(ddir)
         if ddir.exists():
             led = ddir / _SKETCH_LEDGER
-            if led.exists() and entry in json.loads(led.read_text()):
+            if led.exists() and entry in _load_ledger(led):
                 # batch already applied; drop swap debris
                 shutil.rmtree(old, ignore_errors=True)
                 shutil.rmtree(staged, ignore_errors=True)
@@ -290,7 +300,7 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
                     continue
                 ddir = root / f"bucket_date={d}"
                 ledger = ddir / _SKETCH_LEDGER
-                applied = (json.loads(ledger.read_text())
+                applied = (_load_ledger(ledger)
                            if ledger.exists() else [])
                 part = new.filter(F.col("bucket_date") == d) \
                     .drop("bucket_date")

@@ -247,3 +247,53 @@ def test_cli_rollup_status(spark, tmp_path, capsys):
                           "--job-id", "ghost", "--partitions", "3"])
     assert rc == 0
     assert "no committed partitions" in capsys.readouterr().out
+
+
+def test_cli_fast_fail_validation(tmp_path):
+    """Malformed verb specs must abort at argparse time (exit 2),
+    BEFORE any Spark job runs — a bad spec that executed only after
+    hours of preceding work would waste the whole run."""
+    import compact_job
+    import rollup_job
+
+    # --distinct-sketch: unknown tier / missing colon / empty column /
+    # tier mapped to two columns / tier listed twice
+    for bad in ["5m:conv_id", "1hconv_id", "1h:",
+                "1h:conv_id,1h:tool", "1h:conv_id,1h:conv_id"]:
+        with pytest.raises(SystemExit) as e:
+            rollup_job.main(["--generate", "5", "--output",
+                             str(tmp_path / "x"),
+                             "--distinct-sketch", bad])
+        assert e.value.code == 2
+
+    # compact_job: malformed pair specs for every verb, and --retain
+    # without --as-of — all before tiered_store/get_spark
+    for argv in [["--store", "s", "--cascade", "1m-1h"],
+                 ["--store", "s", "--cascade-sketch", "1m:1h:1d"],
+                 ["--store", "s", "--expire", "1m"],
+                 ["--store", "s", "--retain", "1m:30d"]]:
+        with pytest.raises(SystemExit) as e:
+            compact_job.main(argv)
+        assert e.value.code == 2
+
+
+def test_cli_status_lower_bound_without_partitions(spark, tmp_path,
+                                                   capsys):
+    """--status with --partitions omitted reports a lineage-derived
+    LOWER BOUND (labeled as such) instead of inventing pendings from
+    a default."""
+    import rollup_job
+
+    from mimir_spark.fixtures import transcripts_df
+
+    src = str(tmp_path / "lb_in")
+    transcripts_df(spark, 60).write.parquet(src)
+    store_dir = str(tmp_path / "lb_store")
+    assert rollup_job.main(["--input", src, "--output", store_dir,
+                            "--job-id", "lbj", "--partitions", "3"]) == 0
+    capsys.readouterr()
+    assert rollup_job.main(["--status", "--output", store_dir,
+                            "--job-id", "lbj"]) == 0
+    out = capsys.readouterr().out
+    assert "3/>=3 (lower bound from lineage" in out
+    assert "pending none" in out

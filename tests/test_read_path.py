@@ -409,6 +409,49 @@ def test_compact_sketch_tier_preserves_expired_dates_and_ledgers(
         (keep_dir / "_applied_batches.json").read_text()) == ["stream/7"]
 
 
+def test_compact_sketch_tier_crash_repair_and_empty_since(
+        spark, t_small_df, tmp_path):
+    """The per-date swap is rename/rename/rm: a crash between the two
+    renames leaves the date (data AND its irreplaceable streaming
+    ledger) in .old, restored on the next run. And a since past every
+    fine date is a clean no-op — no empty tier dir left behind, no
+    read of one attempted."""
+    import json
+    import shutil
+
+    from mimir_spark.rollup import rollup_distinct_sketch
+
+    s = TieredStore(tmp_path / "sk_crash")
+    points = turn_metrics(ingest(t_small_df))
+    s.write_sketch_tier(rollup_distinct_sketch(points, "1m"), "1m")
+    s.compact_sketch_tier(spark, "1m", "1h")
+
+    dates = sorted(d.name.split("=", 1)[1]
+                   for d in s.sketch_dir("1h").glob("bucket_date=*"))
+    d = dates[0]
+    ddir = s.sketch_dir("1h") / f"bucket_date={d}"
+    (ddir / "_applied_batches.json").write_text(json.dumps(["stream/9"]))
+
+    # simulate the crash window: live renamed to .old, staged never
+    # landed (a fresh run starts by wiping _staging)
+    ddir.rename(s.sketch_dir("1h") / f".old-{d}")
+    shutil.rmtree(s.root / "_staging", ignore_errors=True)
+
+    s.compact_sketch_tier(spark, "1m", "1h")
+    assert ddir.exists()
+    # the ledger survived the crash + repair + re-replace
+    assert json.loads(
+        (ddir / "_applied_batches.json").read_text()) == ["stream/9"]
+    assert not list(s.sketch_dir("1h").glob(".old-*"))
+
+    # empty-since no-op on a store whose target tier does not exist
+    s2 = TieredStore(tmp_path / "sk_empty")
+    s2.write_sketch_tier(rollup_distinct_sketch(points, "1m"), "1m")
+    assert s2.compact_sketch_tier(spark, "1m", "1h",
+                                  since="2099-01-01") == 0
+    assert not s2.sketch_dir("1h").exists()
+
+
 def test_query_range_distinct_tier_autoselect_present_only(
         spark, t_small_df, tmp_path):
     """tier=None selects among sketch tiers that actually exist: a

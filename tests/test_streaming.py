@@ -473,3 +473,15 @@ def test_sketch_sink_crash_windows_and_app_id(spark, t_small_df, tmp_path):
     sink_b(batch, 1)
     assert not stale.exists()
     assert not list(root.glob(".old-*")) and not list(root.glob(".stage-*"))
+
+    # pre-app_id ledgers (bare ints) are read as THIS incarnation's
+    # applied batches: re-delivering such a batch id stays a no-op
+    led = ddir / _SKETCH_LEDGER
+    entries = json.loads(led.read_text())
+    led.write_text(json.dumps(
+        [int(e.split("/")[1]) if e.startswith("appA/") else e
+         for e in entries]))  # downgrade appA entries to the old format
+    total = store.read_sketch_tier(spark, "1h").agg(F.sum("cnt")).first()[0]
+    sink(batch, 2)  # appA/2 was applied (now stored as bare 2)
+    assert store.read_sketch_tier(spark, "1h") \
+        .agg(F.sum("cnt")).first()[0] == total
