@@ -245,6 +245,55 @@ def test_incremental_sketch_compact_since(spark, source, tmp_path):
         .filter(F.col("bucket_date") >= F.lit(cutoff)))
 
 
+def test_nightly_operations_equivalence(spark, source, tmp_path):
+    """The full operational loop — nightly finest-tier rebuild +
+    INCREMENTAL coarse cascades (--since) + fine-tier retention —
+    converges to exactly the coarse tiers a from-scratch build
+    produces (aggregates AND chunk bytes). This is the composition
+    proof for leaf-granular promotes, since-filters, and expiry
+    interacting across simulated nights."""
+    # reference: one-shot build, full cascades, no retention
+    ref = TieredStore(tmp_path / "ref")
+    run_rollup_job(spark, source, ref, "ref", num_partitions=3,
+                   tiers=("1m",))
+    ref.compact_tier(spark, "1m", "1h")
+    ref.compact_tier(spark, "1h", "1d")
+    want_1h = _read_all(spark, ref, "1h")
+    want_1d = _read_all(spark, ref, "1d")
+
+    dates = sorted({d.name.split("=", 1)[1]
+                    for d in ref.tier_dir("1m").glob("p=*/bucket_date=*")})
+    assert len(dates) >= 4
+    split = dates[len(dates) // 2]  # first "new" date of night 2
+
+    op = TieredStore(tmp_path / "op")
+    # night 1: raw holds only the early dates; initial full build
+    early = source().filter(F.to_date("ts") < F.lit(split))
+    run_rollup_job(spark, lambda: early, op, "night1",
+                   num_partitions=3, tiers=("1m",))
+    op.compact_tier(spark, "1m", "1h")
+    op.compact_tier(spark, "1h", "1d")
+    # fine-tier retention drops the oldest 1m date (coarse keeps it)
+    op.expire("1m", dates[1])
+
+    # night 2: raw grew; the job re-derives the finest tier from the
+    # full source (whole-shard replace), the cascades run INCREMENTAL
+    # from the first new date, retention re-expires the fine tier
+    run_rollup_job(spark, source, op, "night2",
+                   num_partitions=3, tiers=("1m",))
+    op.compact_tier(spark, "1m", "1h", since=split)
+    op.compact_tier(spark, "1h", "1d", since=split)
+    op.expire("1m", dates[1])
+
+    for tier, want in (("1h", want_1h), ("1d", want_1d)):
+        got = _read_all(spark, op, tier)
+        cols = [c for c in got.columns if c != "chunk"]
+        pd.testing.assert_frame_equal(got[cols], want[cols],
+                                      check_dtype=False)
+        assert all(bytes(x) == bytes(y)
+                   for x, y in zip(got["chunk"], want["chunk"]))
+
+
 def test_compact_job_cli(spark, source, tmp_path, capsys):
     import sys as _sys
 
