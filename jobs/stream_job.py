@@ -1,0 +1,116 @@
+"""spark-submit entry point for CONTINUOUS transcript ingest.
+
+The streaming third of the job triad (rollup_job = batch build,
+compact_job = maintenance): tails a growing transcripts source and
+merges closed buckets into the same TieredStore the batch pipeline
+maintains — Gorilla chunk rows via the stateful writer, optional HLL
+distinct sketches via the sketch sink. Mirrors the reference's
+continuous-ingest design (MimirIndex.java:130-139,611-628: RAM batch
+-> searchable at sync-to-disk, the watermark playing the flush
+timer); the batch cascade repairs the late tail at compaction, like
+its LSM merge.
+
+Usage (cluster):
+    spark-submit --py-files /tmp/mimir_spark.zip jobs/stream_job.py \
+        --source /data/incoming --store /data/store --tier 1m \
+        --checkpoint /data/ckpt --app-id prod-ingest
+
+    --once processes everything currently available and exits
+    (Trigger.AvailableNow) — cron-friendly micro-batch ingest and the
+    mode the tests drive; omit it for an always-on stream.
+
+Recovery contract (see sketch_store_sink): restarting with the SAME
+checkpoint + app-id is exactly-once; wiping the checkpoint replays
+the source, so pass a fresh --app-id AND start from a fresh/cleared
+store tier.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True,
+                    help="parquet directory to tail (columns: conv_id,"
+                         " turn_idx, role, text, tool, ts)")
+    ap.add_argument("--store", required=True, help="tier store root")
+    ap.add_argument("--tier", default="1m", choices=["1m", "1h", "1d"])
+    ap.add_argument("--watermark", default="10 minutes",
+                    help="event-time lateness bound; later rows wait "
+                         "for the batch cascade's late-tail repair")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (default: "
+                         "<store>/_streaming/checkpoint-<tier>)")
+    ap.add_argument("--app-id", default="stream",
+                    help="logical stream incarnation for the sink "
+                         "ledgers (change it together with a fresh "
+                         "checkpoint + fresh tier)")
+    ap.add_argument("--partitions", type=int, default=8,
+                    help="shard count for the chunk tier layout")
+    ap.add_argument("--distinct-sketch", default="",
+                    help="also maintain an HLL distinct sketch tier "
+                         "over this column (e.g. conv_id)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--once", action="store_true",
+                    help="drain what is available now, then exit")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from mimir_spark.fixtures import TRANSCRIPT_SCHEMA_NTZ
+    from mimir_spark.lineage import TieredStore
+    from mimir_spark.session import get_spark
+    from mimir_spark.streaming.rollup_stream import (
+        chunk_store_sink, sketch_store_sink, streaming_distinct_sketch,
+        streaming_rollup_chunks)
+
+    spark = get_spark("stream-job", cpus=args.cpus)
+    store = TieredStore(args.store)
+    ckpt_root = pathlib.Path(
+        args.checkpoint
+        or str(store.root / "_streaming" / f"checkpoint-{args.tier}"))
+
+    def reader():
+        r = spark.readStream.schema(TRANSCRIPT_SCHEMA_NTZ)
+        if args.max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger",
+                         args.max_files_per_trigger)
+        return r.parquet(args.source)
+
+    def start(df, sink, name):
+        w = (df.writeStream.outputMode("append").foreachBatch(sink)
+             .option("checkpointLocation", str(ckpt_root / name))
+             .queryName(name))
+        if args.once:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    queries = [start(
+        streaming_rollup_chunks(reader(), tier=args.tier,
+                                watermark=args.watermark),
+        chunk_store_sink(store, args.tier, app_id=args.app_id,
+                         num_partitions=args.partitions),
+        "chunks")]
+    if args.distinct_sketch:
+        queries.append(start(
+            streaming_distinct_sketch(reader(), tier=args.tier,
+                                      watermark=args.watermark,
+                                      distinct_col=args.distinct_sketch),
+            sketch_store_sink(store, args.tier, app_id=args.app_id),
+            "sketch"))
+
+    for q in queries:
+        q.awaitTermination()
+    for q in queries:
+        print(f"stream {q.name}: stopped "
+              f"(last progress: {q.lastProgress and q.lastProgress.get('numInputRows')} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

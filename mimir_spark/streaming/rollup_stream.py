@@ -341,6 +341,111 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
     return write
 
 
+def chunk_store_sink(store, tier: str, app_id: str = "stream",
+                     num_partitions: int = 8):
+    """foreachBatch sink appending streamed Gorilla chunk rows
+    (streaming_rollup_chunks output) into a TieredStore tier — the
+    tier is then served by series_points / query_range / compact_tier
+    exactly like batch-job output. This completes the module-header
+    design: continuous ingest lands in the SAME store the batch
+    pipeline maintains, with the batch cascade re-folding the late
+    tail at compaction time.
+
+    Layout: rows land under ``tier={t}/p={p}/bucket_date={d}`` with
+    ``p = pmod(xxhash64(kind \\x1f series_key), P)``. The batch job
+    shards by conv_id, so shard assignments differ for tool series —
+    harmless by design: every reader aggregates across ``p`` (the
+    partials are associative), and nothing keys on which shard a
+    series lives in.
+
+    Exactly-once under at-least-once retries WITHOUT read-modify-
+    write: a closed bucket is emitted exactly once by the stateful
+    operator, so the sink only ever APPENDS — each (date, batch)
+    lands as one deterministically-named file per shard
+    (``stream-{app_id}-{batch_id}.parquet``), making a replayed move
+    overwrite itself, and the per-date ledger (in a ``_streaming``
+    sidecar, invisible to readers) commits last. Crash anywhere →
+    retry redoes idempotent file moves and re-commits the ledger.
+
+    Ownership contract: the batch job's whole-shard replace is the
+    source of truth — a nightly job whose raw table covers the
+    streamed dates rebuilds them (re-deriving streamed data from
+    raw); streaming owns only the live tail in between.
+    """
+    import json
+    import os
+    import shutil
+
+    series_id = F.concat_ws("\x1f", F.col("kind"), F.col("series_key"))
+    cols = ["kind", "series_key", "metric", "bucket_ts", "cnt",
+            "sum_v", "min_v", "max_v", "last_v", "chunk"]
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        entry = f"{app_id}/{batch_id}"
+        ledger_dir = store.root / "_streaming" / f"tier={tier}"
+        new = (
+            batch_df
+            # emitted bucket_ts is tz-naive; stored tiers carry the
+            # instant — same session-tz-proof conversion as the
+            # sketch sink, so file schemas match the batch job's
+            .withColumn("bucket_ts", F.expr(_NTZ_TO_INSTANT))
+            .withColumn("p", F.pmod(F.xxhash64(series_id),
+                                    F.lit(num_partitions)))
+            .withColumn("bucket_date", F.to_date("bucket_ts"))
+            .select("p", "bucket_date", *cols)
+        ).persist()
+        try:
+            dates = sorted(str(r[0]) for r in
+                           new.select("bucket_date").distinct().collect())
+            if not dates:
+                return
+            ledger_dir.mkdir(parents=True, exist_ok=True)
+            for d in dates:
+                led = ledger_dir / f"bucket_date={d}.json"
+                applied = ([f"{app_id}/{e}" if isinstance(e, int) else e
+                            for e in json.loads(led.read_text())]
+                           if led.exists() else [])
+                if entry in applied:
+                    continue
+                staged = store.root / "_streaming" / \
+                    f".stage-{tier}-{d}-{app_id}-{batch_id}"
+                if staged.exists():
+                    shutil.rmtree(staged)
+                part = new.filter(F.col("bucket_date") == d) \
+                    .drop("bucket_date")
+                (
+                    part.repartition("p")
+                    .sortWithinPartitions("p", *_STORE_SORT_STREAM)
+                    .write.mode("overwrite").partitionBy("p")
+                    .parquet(str(staged))
+                )
+                fname = f"stream-{app_id}-{batch_id}.parquet"
+                for pdir in sorted(staged.glob("p=*")):
+                    files = sorted(pdir.glob("*.parquet"))
+                    if not files:
+                        continue
+                    leaf = (store.tier_dir(tier) / pdir.name
+                            / f"bucket_date={d}")
+                    leaf.mkdir(parents=True, exist_ok=True)
+                    if len(files) == 1:
+                        os.replace(files[0], leaf / fname)
+                    else:  # repartition("p") gives one file per shard,
+                        # but never rely on it: suffix extras stably
+                        for i, f in enumerate(files):
+                            os.replace(f, leaf / f"{fname}.{i}")
+                shutil.rmtree(staged, ignore_errors=True)
+                led.write_text(json.dumps(applied + [entry]))
+        finally:
+            new.unpersist()
+
+    return write
+
+
+#: chunk-sink file row order — same clustering as the batch store
+#: (_cluster_for_store) so row-group stats prune series filters
+_STORE_SORT_STREAM = ["kind", "series_key", "metric", "bucket_ts"]
+
+
 ROLLUP_CHUNK_SCHEMA = (
     "kind string, series_key string, metric string, "
     "bucket_ts timestamp_ntz, "

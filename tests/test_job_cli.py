@@ -297,3 +297,35 @@ def test_cli_status_lower_bound_without_partitions(spark, tmp_path,
     out = capsys.readouterr().out
     assert "3/>=3 (lower bound from lineage" in out
     assert "pending none" in out
+
+
+def test_stream_job_cli_once_and_rerun(spark, t_small_df, tmp_path,
+                                       capsys):
+    """stream_job --once drains the source into the store (chunk tier
+    + sketch tier), the result serves query_range/distinct, and a
+    SECOND --once run over the unchanged source is a no-op (checkpoint
+    + ledgers): no duplicate rows."""
+    import stream_job
+
+    from mimir_spark.read_path import query_range, query_range_distinct
+
+    src = str(tmp_path / "sj_src")
+    t_small_df.limit(4000).repartition(3).write.parquet(src)
+    store_dir = str(tmp_path / "sj_store")
+    argv = ["--source", src, "--store", store_dir, "--tier", "1h",
+            "--once", "--distinct-sketch", "conv_id",
+            "--partitions", "3"]
+    assert stream_job.main(argv) == 0
+    s = TieredStore(store_dir)
+    n1 = s.read_tier(spark, "1h").count()
+    k1 = s.read_sketch_tier(spark, "1h").count()
+    assert n1 > 0 and k1 > 0
+    assert query_range(spark, s, "turn_rate", agg="sum", step="2h",
+                       kind="conv", tiers=("1h",)).count() > 0
+    assert query_range_distinct(spark, s, "turn_rate", step="2h",
+                                kind="conv", tier="1h").count() > 0
+
+    # re-run: the checkpoint has consumed the source; nothing merges
+    assert stream_job.main(argv) == 0
+    assert s.read_tier(spark, "1h").count() == n1
+    assert s.read_sketch_tier(spark, "1h").count() == k1

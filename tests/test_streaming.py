@@ -485,3 +485,82 @@ def test_sketch_sink_crash_windows_and_app_id(spark, t_small_df, tmp_path):
     sink(batch, 2)  # appA/2 was applied (now stored as bare 2)
     assert store.read_sketch_tier(spark, "1h") \
         .agg(F.sum("cnt")).first()[0] == total
+
+
+def test_chunk_store_sink_end_to_end(spark, t_small_df, stream_dir,
+                                     tmp_path):
+    """streaming_rollup_chunks -> foreachBatch chunk_store_sink: the
+    persisted tier holds exactly the emitted closed buckets, serves
+    series_points with a correct decode roundtrip, a re-delivered
+    batch id is a no-op (deterministic file names + per-date ledger),
+    and the chunk bytes for emitted buckets equal the batch job's."""
+    import json
+
+    from mimir_spark import codec
+    from mimir_spark.lineage import TieredStore
+    from mimir_spark.read_path import series_points
+    from mimir_spark.rollup import rollup_points
+    from mimir_spark.streaming.rollup_stream import (
+        chunk_store_sink, streaming_rollup_chunks)
+
+    store = TieredStore(tmp_path / "chstream_store")
+    sink = chunk_store_sink(store, "1h", num_partitions=4)
+    # single data micro-batch: deterministic emitted set (see the
+    # sketch-sink test for why)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_dir)
+    q = (
+        streaming_rollup_chunks(stream, tier="1h")
+        .writeStream.outputMode("append").foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    got = store.read_tier(spark, "1h") \
+        .select(*key, "cnt", "sum_v", "chunk").toPandas() \
+        .sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(got) > 0
+    # every persisted bucket matches the batch one-pass writer,
+    # chunk bytes included (the stream==batch invariant, now held
+    # through the store)
+    batch = rollup_points(turn_metrics(ingest(t_small_df)),
+                          tiers=("1h",)) \
+        .select(*key, "cnt", "sum_v", "chunk").toPandas()
+    sub = batch.merge(got[key], on=key, how="inner") \
+        .sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(sub) == len(got)
+    assert (got["cnt"].to_numpy() == sub["cnt"].to_numpy()).all()
+    assert all(bytes(a) == bytes(b)
+               for a, b in zip(got["chunk"], sub["chunk"]))
+
+    # serving: pruned decode roundtrip straight off the streamed tier
+    row = got[got["cnt"] >= 3].iloc[0]
+    pts = series_points(spark, store, "1h", kind=row["kind"],
+                        series_key=row["series_key"],
+                        metric=row["metric"]).toPandas()
+    assert len(pts) >= int(row["cnt"])
+
+    # retry idempotence: re-deliver an applied batch with poison data
+    # that would duplicate rows if appended again
+    leds = sorted((store.root / "_streaming" / "tier=1h")
+                  .glob("bucket_date=*.json"))
+    assert leds
+    entries = sorted({e for f in leds for e in json.loads(f.read_text())})
+    bid = max(int(e.split("/")[1]) for e in entries)
+    poison = store.read_tier(spark, "1h") \
+        .select(*key, "cnt", "sum_v", "min_v", "max_v", "last_v", "chunk") \
+        .withColumn("bucket_ts",
+                    F.expr("cast(bucket_ts as timestamp_ntz)"))
+    n_before = store.read_tier(spark, "1h").count()
+    sink(poison, bid)
+    assert store.read_tier(spark, "1h").count() == n_before
+
+    # a NEW batch id with shifted buckets appends
+    shifted = poison.withColumn(
+        "bucket_ts", F.expr("bucket_ts + INTERVAL 5000 HOURS"))
+    sink(shifted, bid + 1)
+    assert store.read_tier(spark, "1h").count() == 2 * n_before
