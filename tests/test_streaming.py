@@ -564,3 +564,13 @@ def test_chunk_store_sink_end_to_end(spark, t_small_df, stream_dir,
         "bucket_ts", F.expr("bucket_ts + INTERVAL 5000 HOURS"))
     sink(shifted, bid + 1)
     assert store.read_tier(spark, "1h").count() == 2 * n_before
+
+    # the batch cascade composes with the streamed layout (the LSM
+    # late-tail repair role): store-level 1h -> 1d over the
+    # multi-file-per-leaf streamed tier preserves every point
+    from mimir_spark.read_path import decode_points
+
+    assert store.compact_tier(spark, "1h", "1d") > 0
+    pts_1h = decode_points(store.read_tier(spark, "1h")).count()
+    pts_1d = decode_points(store.read_tier(spark, "1d")).count()
+    assert pts_1d == pts_1h > 0
