@@ -53,6 +53,11 @@ def main(argv=None) -> int:
                          "checkpoint + fresh tier)")
     ap.add_argument("--partitions", type=int, default=8,
                     help="shard count for the chunk tier layout")
+    ap.add_argument("--state-shards", type=int, default=64,
+                    help="stateful-writer hash shards (one columnar "
+                         "state buffer per shard — O(shards) Python "
+                         "crossings per micro-batch instead of one "
+                         "per open series); 0 = per-series state")
     ap.add_argument("--distinct-sketch", default="",
                     help="also maintain an HLL distinct sketch tier "
                          "over this column (e.g. conv_id)")
@@ -92,7 +97,8 @@ def main(argv=None) -> int:
 
     queries = [start(
         streaming_rollup_chunks(reader(), tier=args.tier,
-                                watermark=args.watermark),
+                                watermark=args.watermark,
+                                shards=args.state_shards or None),
         chunk_store_sink(store, args.tier, app_id=args.app_id,
                          num_partitions=args.partitions),
         "chunks")]

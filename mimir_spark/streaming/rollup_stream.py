@@ -455,9 +455,145 @@ ROLLUP_CHUNK_SCHEMA = (
 _STATE_SCHEMA = ("ts array<bigint>, conv array<string>, tidx array<bigint>, "
                  "v array<double>")
 
+#: sharded-state variant: ONE pickled columnar buffer per hash shard
+_SHARD_STATE_SCHEMA = "buf binary"
+
+#: composite series separator inside the sharded buffer (same byte the
+#: store layout uses in its series_id concat — series fields are
+#: conv_id / tool / metric names, never control characters)
+_SKEY_SEP = "\x1f"
+
+
+def _streaming_chunks_sharded(stream: DataFrame, tier: str,
+                              watermark: str, shards: int) -> DataFrame:
+    """Sharded-state body of streaming_rollup_chunks (shards=N).
+
+    Why it exists: the per-series writer invokes the Python state
+    handler once per OPEN SERIES per micro-batch — measured ~2.5k
+    turns/s on the rehearsal corpus (~500k open series), dominated by
+    per-group pandas/pickle crossings, not encode work (BENCH.md).
+    Grouping by ``pmod(xxhash64(series), shards)`` instead keeps one
+    columnar buffer per shard, so a micro-batch makes O(shards) Python
+    crossings and every per-point step (sort, bucket close, aggregate,
+    Gorilla encode) is one vectorized numpy pass over the shard — the
+    same memtable-per-shard shape an LSM ingester uses. Emitted rows
+    are identical to the per-series writer's (asserted bit-for-bit in
+    tests): intra-chunk point order is (ts, conv_id, turn_idx) via
+    integer lexsort over order-preserving np.unique codes.
+
+    State per shard is one pickled tuple of flat arrays (composite
+    series key, ts_us, conv_id, turn_idx, v) holding only OPEN-bucket
+    points; event-time timeouts flush idle shards when the watermark
+    passes their earliest open bucket end, exactly like the per-series
+    variant.
+    """
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from .. import codec
+    from ..rollup import TIER_US
+
+    unit_us = TIER_US[tier]
+    _empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+              np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
+              np.empty(0, dtype=np.float64))
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            skey, ts, conv, tidx, v = pickle.loads(bytes(state.get[0]))
+        else:
+            skey, ts, conv, tidx, v = _empty
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        parts = [(skey, ts, conv, tidx, v)]
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            t = pdf["ts_us"].to_numpy(dtype=np.int64)
+            # arrival-time late drop, same rule as the per-series
+            # writer: strictly older than the watermark is late
+            on_time = t >= wm_us
+            if not on_time.any():
+                continue
+            p = pdf.loc[on_time]
+            comp = (p["kind"].astype(str) + _SKEY_SEP
+                    + p["series_key"].astype(str) + _SKEY_SEP
+                    + p["metric"].astype(str)).to_numpy(dtype=object)
+            parts.append((comp, t[on_time],
+                          p["conv_id"].to_numpy(dtype=object),
+                          p["turn_idx"].to_numpy(dtype=np.int64),
+                          p["v"].to_numpy(dtype=np.float64)))
+        if len(parts) > 1:
+            skey, ts, conv, tidx, v = (
+                np.concatenate([pp[i] for pp in parts])
+                for i in range(5))
+        if len(ts) == 0:
+            state.remove()
+            return
+        # order-preserving integer codes (np.unique sorts), then one
+        # integer lexsort: (series, ts, conv_id, turn_idx) — the batch
+        # writer's intra-chunk order, string compare included
+        s_uniq, s_code = np.unique(skey, return_inverse=True)
+        _, c_code = np.unique(conv, return_inverse=True)
+        order = np.lexsort((tidx, c_code, ts, s_code))
+        skey, ts, conv, tidx, v, s_code = (
+            a[order] for a in (skey, ts, conv, tidx, v, s_code))
+        bucket = ts - ts % unit_us
+        closed = (bucket + unit_us) <= wm_us
+        out = None
+        if closed.any():
+            cs, ct, cv, cb = (s_code[closed], ts[closed], v[closed],
+                              bucket[closed])
+            starts = np.flatnonzero(np.concatenate(
+                [[True], (cs[1:] != cs[:-1]) | (cb[1:] != cb[:-1])]))
+            ends = np.append(starts[1:], len(cb))
+            chunks = codec.encode_many(ct, cv, starts)
+            series = pd.Series(s_uniq[cs[starts]]).str.split(
+                _SKEY_SEP, expand=True)
+            out = pd.DataFrame({
+                "kind": series[0], "series_key": series[1],
+                "metric": series[2],
+                "bucket_ts": cb[starts].astype("datetime64[us]"),
+                "cnt": ends - starts,
+                "sum_v": np.add.reduceat(cv, starts),
+                "min_v": np.minimum.reduceat(cv, starts),
+                "max_v": np.maximum.reduceat(cv, starts),
+                "last_v": cv[ends - 1],
+                "chunk": chunks,
+            })
+        keep = ~closed
+        if keep.any():
+            state.update((pickle.dumps(
+                tuple(a[keep] for a in (skey, ts, conv, tidx, v)),
+                protocol=pickle.HIGHEST_PROTOCOL),))
+            # flush when the watermark passes the earliest open bucket
+            state.setTimeoutTimestamp(
+                int((bucket[keep] + unit_us).min()) // 1000)
+        else:
+            state.remove()
+        if out is not None:
+            yield out
+
+    points = _deduped_points(stream, watermark).withColumn(
+        "ts_us", F.unix_micros("ts")).withColumn(
+        "shard", F.pmod(F.xxhash64("kind", "series_key", "metric"),
+                        F.lit(shards)).cast("int"))
+    return (
+        points.groupBy("shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ROLLUP_CHUNK_SCHEMA,
+            stateStructType=_SHARD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
 
 def streaming_rollup_chunks(stream: DataFrame, tier: str = "1m",
-                            watermark: str = "10 minutes") -> DataFrame:
+                            watermark: str = "10 minutes",
+                            shards: int | None = None) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState): the
     streaming analogue of the one-pass chunk writer. Per-series state
     buffers the open buckets' points; once the event-time watermark
@@ -469,7 +605,17 @@ def streaming_rollup_chunks(stream: DataFrame, tier: str = "1m",
     This is the RAM-batch -> immutable-tail lifecycle of the reference
     (MimirIndex.java:611-628: postings buffered in RAM, searchable at
     sync-to-disk) with the watermark playing the flush timer.
+
+    ``shards``: None keeps one state row per series (the reference
+    shape; fine at moderate series cardinality). An integer switches
+    to the sharded-state writer — one columnar buffer per hash shard,
+    O(shards) Python crossings per micro-batch instead of O(open
+    series) — the high-cardinality live-tail configuration
+    (_streaming_chunks_sharded; stream_job defaults to it). Output is
+    identical bit-for-bit either way.
     """
+    if shards:
+        return _streaming_chunks_sharded(stream, tier, watermark, shards)
     import numpy as np
     import pandas as pd
 

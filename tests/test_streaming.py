@@ -140,23 +140,17 @@ def test_streaming_dst_edge_walls(spark, tmp_path_factory):
     assert got == want, got
 
 
-def test_streaming_chunks_match_batch(spark, t_small, t_small_df, stream_dir):
-    """The stateful chunk writer (applyInPandasWithState) must emit the
-    SAME Gorilla chunks as the batch one-pass writer, bit-for-bit, for
-    every bucket it closes."""
-    import numpy as np
-
-    from mimir_spark import codec
-    from mimir_spark.rollup import rollup_points
-    from mimir_spark.streaming.rollup_stream import streaming_rollup_chunks
-
-    # time-ordered micro-batches (files written sequentially in ts
-    # order) so the watermark advances monotonically and every bucket
-    # is complete when it closes — the in-order ingest contract
+@pytest.fixture(scope="module")
+def ordered_stream_dir(t_small, stream_dir):
+    """Time-ordered micro-batches (files written sequentially in ts
+    order) so the watermark advances monotonically and every bucket
+    is complete when it closes — the in-order ingest contract."""
+    import os
     import time as _time
 
-    d = tmp_path_for_chunks = stream_dir + "_ordered"
-    import os
+    import numpy as np
+
+    d = stream_dir + "_ordered"
     os.makedirs(d, exist_ok=True)
     src = t_small.sort_values(["ts", "conv_id", "turn_idx"]).reset_index(drop=True)
     slices = np.array_split(src, 4)
@@ -164,21 +158,36 @@ def test_streaming_chunks_match_batch(spark, t_small, t_small_df, stream_dir):
         sl.to_parquet(f"{d}/{i:03d}.parquet", index=False,
                       coerce_timestamps="us", allow_truncated_timestamps=True)
         _time.sleep(1.1)  # distinct mtimes -> chronological source order
+    return d
+
+
+@pytest.mark.parametrize("shards", [None, 4])
+def test_streaming_chunks_match_batch(spark, t_small_df, ordered_stream_dir,
+                                      shards):
+    """The stateful chunk writer (applyInPandasWithState) must emit the
+    SAME Gorilla chunks as the batch one-pass writer, bit-for-bit, for
+    every bucket it closes — in BOTH state layouts (per-series and
+    sharded columnar buffers)."""
+    import numpy as np
+
+    from mimir_spark import codec
+    from mimir_spark.rollup import rollup_points
+    from mimir_spark.streaming.rollup_stream import streaming_rollup_chunks
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(d)
+        .parquet(ordered_stream_dir)
     )
     q = (
-        streaming_rollup_chunks(stream, tier="1h")
+        streaming_rollup_chunks(stream, tier="1h", shards=shards)
         .writeStream.outputMode("append")
-        .format("memory").queryName("schunks")
+        .format("memory").queryName(f"schunks_{shards or 0}")
         .start()
     )
     try:
         q.processAllAvailable()
-        got = spark.sql("SELECT * FROM schunks").toPandas()
+        got = spark.sql(f"SELECT * FROM schunks_{shards or 0}").toPandas()
     finally:
         q.stop()
 
