@@ -34,11 +34,48 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def _print_status(store_root: str) -> int:
+    """--status: per-tier streaming lineage from the _streaming sidecar
+    — applied-batch ledgers plus per-(app, batch, date) ingest metrics
+    (rows in, points out, bytes compressed). Pure filesystem; no Spark.
+    The streaming analogue of ``rollup_job --status``."""
+    import json
+
+    from mimir_spark.streaming.rollup_stream import read_stream_metrics
+
+    streaming = pathlib.Path(store_root) / "_streaming"
+    out = {"store": store_root, "tiers": {}}
+    for side in sorted(streaming.glob("tier=*")) + \
+            sorted(streaming.glob("sketch=*")):
+        if not side.is_dir():
+            continue
+        dates: dict = {}
+        for m in read_stream_metrics(side):
+            d = dates.setdefault(m["date"], {"batches": 0})
+            d["batches"] += 1
+            for k, v in m.items():
+                if k not in ("app", "batch", "date"):
+                    d[k] = d.get(k, 0) + v
+        applied = {led.name.split("=", 1)[1].removesuffix(".json"):
+                   len(json.loads(led.read_text()))
+                   for led in sorted(side.glob("bucket_date=*.json"))}
+        for d, n in applied.items():
+            dates.setdefault(d, {"batches": n})["applied_entries"] = n
+        totals: dict = {}
+        for d in dates.values():
+            for k, v in d.items():
+                totals[k] = totals.get(k, 0) + v
+        out["tiers"][side.name] = {"dates": dates, "totals": totals}
+    print(json.dumps(out), flush=True)
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--source", required=True,
+    ap.add_argument("--source",
                     help="parquet directory to tail (columns: conv_id,"
-                         " turn_idx, role, text, tool, ts)")
+                         " turn_idx, role, text, tool, ts); required "
+                         "unless --status")
     ap.add_argument("--store", required=True, help="tier store root")
     ap.add_argument("--tier", default="1m", choices=["1m", "1h", "1d"])
     ap.add_argument("--watermark", default="10 minutes",
@@ -64,8 +101,15 @@ def main(argv=None) -> int:
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--once", action="store_true",
                     help="drain what is available now, then exit")
+    ap.add_argument("--status", action="store_true",
+                    help="print per-tier streaming lineage (applied "
+                         "batches + per-date ingest metrics) and exit")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.status:
+        return _print_status(args.store)
+    if not args.source:
+        ap.error("--source is required unless --status")
 
     from mimir_spark.fixtures import TRANSCRIPT_SCHEMA_NTZ
     from mimir_spark.lineage import TieredStore

@@ -178,6 +178,41 @@ def streaming_distinct_sketch(stream: DataFrame, tier: str = "1m",
 #: carries ITS OWN ledger and swaps atomically with its data.
 _SKETCH_LEDGER = "_applied_batches.json"
 
+#: per-batch ingest metrics sidecar (one JSON line per applied
+#: (app, batch, date)) — the streaming analogue of the batch job's
+#: per-partition lineage metrics (rows in, points out, bytes
+#: compressed). Appended just BEFORE the ledger/swap commit, so a
+#: crash in between makes the retry re-append the same deterministic
+#: line; readers dedupe on (app, batch, date) keeping the last.
+_STREAM_METRICS = "metrics.jsonl"
+
+
+def _append_stream_metrics(sidecar_dir, app_id: str, batch_id: int,
+                           date: str, stats: dict) -> None:
+    import json
+
+    sidecar_dir.mkdir(parents=True, exist_ok=True)
+    line = json.dumps({"app": app_id, "batch": batch_id, "date": date,
+                       **stats})
+    with open(sidecar_dir / _STREAM_METRICS, "a") as f:
+        f.write(line + "\n")
+
+
+def read_stream_metrics(sidecar_dir) -> list[dict]:
+    """Deduped per-(app, batch, date) metrics rows from a sidecar dir
+    (crash retries may append the same deterministic line twice)."""
+    import json
+
+    path = sidecar_dir / _STREAM_METRICS
+    if not path.exists():
+        return []
+    rows: dict = {}
+    for line in path.read_text().splitlines():
+        if line.strip():
+            r = json.loads(line)
+            rows[(r["app"], r["batch"], r["date"])] = r
+    return [rows[k] for k in sorted(rows)]
+
 # inverse of _bucket_ntz: NTZ UTC wall time -> instant, session-tz
 # invariant (whole-second bucket boundaries, so SECOND is lossless)
 _NTZ_TO_INSTANT = ("timestamp_seconds(timestampdiff(SECOND, "
@@ -287,12 +322,22 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
             .withColumn("bucket_date", F.to_date("bucket_ts"))
         ).persist()
         try:
-            # 1-2 closed dates per batch: a bounded driver-side list
-            dates = sorted(str(r[0]) for r in
-                           new.select("bucket_date").distinct().collect())
+            # 1-2 closed dates per batch: a bounded driver-side list;
+            # the agg doubles as the per-(app, batch, date) lineage
+            # metrics record (this batch's contribution, pre-merge)
+            stats = {str(r["bucket_date"]): {
+                         "rows": r["rows"], "points": r["points"],
+                         "sketch_bytes": r["sketch_bytes"]}
+                     for r in new.groupBy("bucket_date").agg(
+                         F.count("*").alias("rows"),
+                         F.sum("cnt").alias("points"),
+                         F.sum(F.octet_length("distinct_sketch"))
+                         .alias("sketch_bytes")).collect()}
+            dates = sorted(stats)
             if not dates:
                 return
             spark = batch_df.sparkSession
+            metrics_dir = store.root / "_streaming" / f"sketch={tier}"
             root = store.sketch_dir(tier)
             root.mkdir(parents=True, exist_ok=True)
             for d in dates:
@@ -318,6 +363,8 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
                     .write.mode("overwrite").parquet(str(staged))
                 (staged / _SKETCH_LEDGER).write_text(
                     json.dumps(applied + [entry]))
+                _append_stream_metrics(metrics_dir, app_id, batch_id, d,
+                                       stats[d])
                 old = root / f".old-{d}-{app_id}-{batch_key}"
                 if ddir.exists():
                     ddir.rename(old)
@@ -395,8 +442,18 @@ def chunk_store_sink(store, tier: str, app_id: str = "stream",
             .select("p", "bucket_date", *cols)
         ).persist()
         try:
-            dates = sorted(str(r[0]) for r in
-                           new.select("bucket_date").distinct().collect())
+            # one tiny agg per batch: the per-date lineage metrics the
+            # batch job records per partition (rows in, points out,
+            # bytes compressed), keyed (app, batch, date)
+            stats = {str(r["bucket_date"]): {
+                         "rows": r["rows"], "points": r["points"],
+                         "chunk_bytes": r["chunk_bytes"]}
+                     for r in new.groupBy("bucket_date").agg(
+                         F.count("*").alias("rows"),
+                         F.sum("cnt").alias("points"),
+                         F.sum(F.octet_length("chunk"))
+                         .alias("chunk_bytes")).collect()}
+            dates = sorted(stats)
             if not dates:
                 return
             ledger_dir.mkdir(parents=True, exist_ok=True)
@@ -434,6 +491,8 @@ def chunk_store_sink(store, tier: str, app_id: str = "stream",
                         for i, f in enumerate(files):
                             os.replace(f, leaf / f"{fname}.{i}")
                 shutil.rmtree(staged, ignore_errors=True)
+                _append_stream_metrics(ledger_dir, app_id, batch_id, d,
+                                       stats[d])
                 led.write_text(json.dumps(applied + [entry]))
         finally:
             new.unpersist()

@@ -329,3 +329,23 @@ def test_stream_job_cli_once_and_rerun(spark, t_small_df, tmp_path,
     assert stream_job.main(argv) == 0
     assert s.read_tier(spark, "1h").count() == n1
     assert s.read_sketch_tier(spark, "1h").count() == k1
+
+    # --status: per-date ingest metrics in the _streaming sidecar must
+    # reconcile with the store content (and the no-op rerun must not
+    # have inflated them)
+    import json
+
+    from pyspark.sql import functions as F
+
+    capsys.readouterr()
+    assert stream_job.main(["--store", store_dir, "--status"]) == 0
+    status = json.loads(capsys.readouterr().out.strip())
+    chunk_tot = status["tiers"]["tier=1h"]["totals"]
+    assert chunk_tot["rows"] == n1
+    tier_df = s.read_tier(spark, "1h")
+    assert chunk_tot["points"] == tier_df.agg(F.sum("cnt")).first()[0]
+    assert chunk_tot["chunk_bytes"] == \
+        tier_df.agg(F.sum(F.octet_length("chunk"))).first()[0]
+    sk_tot = status["tiers"]["sketch=1h"]["totals"]
+    assert sk_tot["rows"] >= k1  # pre-merge contributions >= merged rows
+    assert sk_tot["batches"] >= 1
