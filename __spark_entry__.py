@@ -1678,7 +1678,9 @@ def q_streaming_chunks_1h(spark, sf_dir):
     closes is oracle-checked. The chunk BYTES are excluded only
     because DuckDB cannot decode Gorilla; they are asserted bit-for-bit
     equal to the batch writer's in pytest
-    (test_streaming_chunks_match_batch)."""
+    (test_streaming_chunks_match_batch). Runs the SHARDED state layout
+    (stream_job's production default — one columnar buffer per hash
+    shard); the per-series layout is the pytest-parametrized twin."""
     from mimir_spark.fixtures import TRANSCRIPT_SCHEMA_NTZ
     from mimir_spark.streaming.rollup_stream import (replay_stream,
                                                      streaming_rollup_chunks)
@@ -1686,7 +1688,8 @@ def q_streaming_chunks_1h(spark, sf_dir):
     out = replay_stream(
         spark, _TRANSCRIPT_FIXTURE, TRANSCRIPT_SCHEMA_NTZ,
         lambda s: streaming_rollup_chunks(s, tier="1h",
-                                          watermark="10 minutes"),
+                                          watermark="10 minutes",
+                                          shards=8),
         "gate_stream_chunks")
     return out.select("kind", "series_key", "metric", "bucket_ts",
                       "cnt", "sum_v", "min_v", "max_v", "last_v")
