@@ -523,38 +523,19 @@ _SHARD_STATE_SCHEMA = "buf binary"
 _SKEY_SEP = "\x1f"
 
 
-def _streaming_chunks_sharded(stream: DataFrame, tier: str,
-                              watermark: str, shards: int) -> DataFrame:
-    """Sharded-state body of streaming_rollup_chunks (shards=N).
-
-    Why it exists: the per-series writer invokes the Python state
-    handler once per OPEN SERIES per micro-batch — measured ~2.5k
-    turns/s on the rehearsal corpus (~500k open series), dominated by
-    per-group pandas/pickle crossings, not encode work (BENCH.md).
-    Grouping by ``pmod(xxhash64(series), shards)`` instead keeps one
-    columnar buffer per shard, so a micro-batch makes O(shards) Python
-    crossings and every per-point step (sort, bucket close, aggregate,
-    Gorilla encode) is one vectorized numpy pass over the shard — the
-    same memtable-per-shard shape an LSM ingester uses. Emitted rows
-    are identical to the per-series writer's (asserted bit-for-bit in
-    tests): intra-chunk point order is (ts, conv_id, turn_idx) via
-    integer lexsort over order-preserving np.unique codes.
-
-    State per shard is one pickled tuple of flat arrays (composite
-    series key, ts_us, conv_id, turn_idx, v) holding only OPEN-bucket
-    points; event-time timeouts flush idle shards when the watermark
-    passes their earliest open bucket end, exactly like the per-series
-    variant.
-    """
+def _make_sharded_chunk_fn(unit_us: int):
+    """Build the per-shard applyInPandasWithState handler for
+    _streaming_chunks_sharded. Module-level so the unit-level
+    differential test (test_streaming_unit.py) can drive it through a
+    simulated GroupState across arbitrary batch/watermark sequences —
+    coverage the end-to-end stream tests can't reach cheaply."""
     import pickle
 
     import numpy as np
     import pandas as pd
 
     from .. import codec
-    from ..rollup import TIER_US
 
-    unit_us = TIER_US[tier]
     _empty = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
               np.empty(0, dtype=object), np.empty(0, dtype=np.int64),
               np.empty(0, dtype=np.float64))
@@ -634,6 +615,35 @@ def _streaming_chunks_sharded(stream: DataFrame, tier: str,
         if out is not None:
             yield out
 
+    return fn
+
+
+def _streaming_chunks_sharded(stream: DataFrame, tier: str,
+                              watermark: str, shards: int) -> DataFrame:
+    """Sharded-state body of streaming_rollup_chunks (shards=N).
+
+    Why it exists: the per-series writer invokes the Python state
+    handler once per OPEN SERIES per micro-batch — measured ~2.5k
+    turns/s on the rehearsal corpus (~500k open series), dominated by
+    per-group pandas/pickle crossings, not encode work (BENCH.md).
+    Grouping by ``pmod(xxhash64(series), shards)`` instead keeps one
+    columnar buffer per shard, so a micro-batch makes O(shards) Python
+    crossings and every per-point step (sort, bucket close, aggregate,
+    Gorilla encode) is one vectorized numpy pass over the shard — the
+    same memtable-per-shard shape an LSM ingester uses. Emitted rows
+    are identical to the per-series writer's (asserted bit-for-bit in
+    tests): intra-chunk point order is (ts, conv_id, turn_idx) via
+    integer lexsort over order-preserving np.unique codes.
+
+    State per shard is one pickled tuple of flat arrays (composite
+    series key, ts_us, conv_id, turn_idx, v) holding only OPEN-bucket
+    points; event-time timeouts flush idle shards when the watermark
+    passes their earliest open bucket end, exactly like the per-series
+    variant.
+    """
+    from ..rollup import TIER_US
+
+    fn = _make_sharded_chunk_fn(TIER_US[tier])
     points = _deduped_points(stream, watermark).withColumn(
         "ts_us", F.unix_micros("ts")).withColumn(
         "shard", F.pmod(F.xxhash64("kind", "series_key", "metric"),
