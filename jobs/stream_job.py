@@ -99,6 +99,13 @@ def main(argv=None) -> int:
                     help="also maintain an HLL distinct sketch tier "
                          "over this column (e.g. conv_id)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--valid-from", default=None, metavar="TS",
+                    help="drop rows with event time before TS")
+    ap.add_argument("--valid-until", default=None, metavar="TS",
+                    help="drop rows with event time after TS — one "
+                         "corrupt far-future timestamp would otherwise "
+                         "advance the watermark and silently late-drop "
+                         "every sane row behind it")
     ap.add_argument("--once", action="store_true",
                     help="drain what is available now, then exit")
     ap.add_argument("--status", action="store_true",
@@ -116,7 +123,7 @@ def main(argv=None) -> int:
     from mimir_spark.session import get_spark
     from mimir_spark.streaming.rollup_stream import (
         chunk_store_sink, sketch_store_sink, streaming_distinct_sketch,
-        streaming_rollup_chunks)
+        streaming_rollup_chunks, valid_event_time)
 
     spark = get_spark("stream-job", cpus=args.cpus)
     store = TieredStore(args.store)
@@ -129,7 +136,8 @@ def main(argv=None) -> int:
         if args.max_files_per_trigger:
             r = r.option("maxFilesPerTrigger",
                          args.max_files_per_trigger)
-        return r.parquet(args.source)
+        return valid_event_time(r.parquet(args.source),
+                                args.valid_from, args.valid_until)
 
     def start(df, sink, name):
         w = (df.writeStream.outputMode("append").foreachBatch(sink)

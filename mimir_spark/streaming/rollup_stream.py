@@ -100,6 +100,34 @@ def _bucket_ntz(col):
 _TIER_UNIT = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 
 
+def valid_event_time(stream: DataFrame, lo: str | None = None,
+                     hi: str | None = None) -> DataFrame:
+    """Drop rows whose event time falls outside ``[lo, hi]`` BEFORE
+    the watermark sees them (bounds are inclusive ISO timestamps,
+    either side optional).
+
+    Operational guard, not a semantic operator: Spark's watermark is
+    ``max(event time) - delay``, so a SINGLE corrupt far-future
+    timestamp (clock-skewed producer, fat-fingered epoch unit) drags
+    the watermark years forward and every sane row behind it is then
+    silently late-dropped — the stream keeps running and produces
+    almost nothing. Bounding event time at ingest caps the blast
+    radius of one bad row to that row. Late-but-sane data still goes
+    through the normal watermark rules; out-of-range rows are the
+    batch cascade's to repair (same as any late tail). Pure Catalyst
+    filter; no Python."""
+    from pyspark.sql.types import TimestampNTZType
+
+    col = F.col("ts")
+    ntz = ("_ntz" if isinstance(stream.schema["ts"].dataType,
+                                TimestampNTZType) else "")
+    if lo is not None:
+        stream = stream.filter(col >= F.lit(lo).cast(f"timestamp{ntz}"))
+    if hi is not None:
+        stream = stream.filter(col <= F.lit(hi).cast(f"timestamp{ntz}"))
+    return stream
+
+
 def _deduped_points(stream: DataFrame, watermark: str) -> DataFrame:
     """Shared streaming preamble: event-time column + watermark +
     in-watermark (conv_id, turn_idx) dedup + metric explode. Every

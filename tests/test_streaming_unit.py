@@ -235,5 +235,72 @@ def test_exact_boundary_point_stays_open():
     assert ts.tolist() == [UNIT]  # the late row is gone
 
 
+def test_valid_event_time_guard(spark, t_small, tmp_path):
+    """Watermark-poisoning drill: ONE corrupt far-future row in an
+    early micro-batch drags the watermark decades forward and the
+    stream late-drops (almost) everything behind it; bounding event
+    time with valid_event_time restores the unpoisoned output
+    exactly. The guard is also checked to drop ONLY the out-of-range
+    row."""
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from mimir_spark.fixtures import TRANSCRIPT_SCHEMA
+    from mimir_spark.streaming.rollup_stream import (
+        streaming_rollup_chunks, valid_event_time)
+
+    src = t_small.sort_values(["ts", "conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    poison = src.iloc[[0]].copy()
+    poison["ts"] = poison["ts"] + pd.Timedelta(days=365 * 30)
+    poison["conv_id"] = "poisoned"
+    hi = str(src["ts"].max())
+
+    d_clean, d_bad = str(tmp_path / "clean"), str(tmp_path / "bad")
+    for d, first in ((d_clean, src.iloc[:0]), (d_bad, poison)):
+        os.makedirs(d)
+        slices = [first, *np.array_split(src, 3)]
+        for i, sl in enumerate(slices):
+            if len(sl) == 0:
+                continue
+            sl.to_parquet(f"{d}/{i:03d}.parquet", index=False,
+                          coerce_timestamps="us",
+                          allow_truncated_timestamps=True)
+            _time.sleep(1.1)
+
+    def run(d, name, guard):
+        stream = (spark.readStream.schema(TRANSCRIPT_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(d))
+        if guard:
+            stream = valid_event_time(stream, hi=hi)
+        q = (streaming_rollup_chunks(stream, tier="1h", shards=4)
+             .writeStream.outputMode("append")
+             .format("memory").queryName(name).start())
+        try:
+            q.processAllAvailable()
+            return (spark.sql(f"SELECT * FROM {name}").toPandas()
+                    .sort_values(["kind", "series_key", "metric",
+                                  "bucket_ts"]).reset_index(drop=True))
+        finally:
+            q.stop()
+
+    baseline = run(d_clean, "vet_clean", guard=False)
+    poisoned = run(d_bad, "vet_bad", guard=False)
+    guarded = run(d_bad, "vet_guard", guard=True)
+
+    assert len(baseline) > 0
+    # the single bad row wipes out (almost) the whole stream
+    assert len(poisoned) < len(baseline) / 2, \
+        (len(poisoned), len(baseline))
+    # the guard drops exactly the poison row: output == baseline
+    pd.testing.assert_frame_equal(
+        guarded.drop(columns=["chunk"]),
+        baseline.drop(columns=["chunk"]), check_dtype=False)
+    for a, b in zip(guarded["chunk"], baseline["chunk"]):
+        assert bytes(a) == bytes(b)
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
