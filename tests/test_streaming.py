@@ -209,6 +209,112 @@ def test_streaming_chunks_match_batch(spark, t_small_df, ordered_stream_dir,
         assert bytes(s) == bytes(b)  # bit-for-bit, not just value-equal
 
 
+def test_live_tail_handoff_and_nightly_rebuild(spark, t_small, t_small_df,
+                                               tmp_path):
+    """The PLANS.md ownership contract, composition-tested end to end:
+
+    1. nightly batch job builds the tier from raw up to a bucket
+       boundary T;
+    2. a live-tail stream replays the WHOLE source but is fenced with
+       valid_event_time(lo=T), so it appends ONLY the post-T closed
+       buckets — no bucket is ever double-counted across the
+       batch/stream boundary;
+    3. every stored row (batch or streamed) equals the all-raw batch
+       rollup oracle for its bucket;
+    4. the next nightly job over the grown raw re-derives the tier by
+       whole-shard replace: byte-identical to a from-scratch build,
+       with the streamed tail files reclaimed.
+    """
+    import os
+    import time as _time
+
+    import numpy as np
+
+    from mimir_spark.lineage import TieredStore, run_rollup_job
+    from mimir_spark.rollup import rollup_points
+    from mimir_spark.streaming.rollup_stream import (
+        chunk_store_sink, streaming_rollup_chunks, valid_event_time)
+
+    src = t_small.sort_values(["ts", "conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    # T: a 1h bucket boundary near the 60% quantile, so no bucket
+    # straddles the batch/stream ownership fence
+    t_q = src["ts"].quantile(0.6)
+    T = pd.Timestamp(t_q).floor("1h")
+
+    store = TieredStore(tmp_path / "handoff")
+    early = t_small_df.filter(F.col("ts") < F.lit(str(T)))
+    run_rollup_job(spark, lambda: early, store, "night1",
+                   num_partitions=3, tiers=("1h",))
+    batch_rows = store.read_tier(spark, "1h").count()
+    assert batch_rows > 0
+
+    # live tail: time-ordered files REPLAYING THE FULL SOURCE (the
+    # worst case: a stream pointed at raw that the batch already owns
+    # below T); the valid-from fence keeps it out of batch territory
+    d = str(tmp_path / "tail_src")
+    os.makedirs(d)
+    for i, sl in enumerate(np.array_split(src, 3)):
+        sl.to_parquet(f"{d}/{i:03d}.parquet", index=False,
+                      coerce_timestamps="us",
+                      allow_truncated_timestamps=True)
+        _time.sleep(1.1)
+    stream = valid_event_time(
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(d), lo=str(T))
+    q = (streaming_rollup_chunks(stream, tier="1h", shards=4)
+         .writeStream.outputMode("append")
+         .foreachBatch(chunk_store_sink(store, "1h", app_id="tail",
+                                        num_partitions=3))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = store.read_tier(spark, "1h") \
+        .withColumn("f", F.input_file_name()).toPandas()
+    assert len(got) > batch_rows, "the tail must have appended buckets"
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    got["bucket_ts"] = got["bucket_ts"].astype("datetime64[us]")
+    # 2. the ownership fence holds exactly: streamed rows only past T,
+    # batch rows only before it (NOTE per-(series, bucket) rows are
+    # not unique by design — the batch job shards tool series by
+    # conv_id, so shards hold associative partials readers re-sum)
+    streamed = got["f"].str.contains("stream-tail")
+    assert streamed.any() and (~streamed).any()
+    assert (got.loc[streamed, "bucket_ts"] >= T).all()
+    assert (got.loc[~streamed, "bucket_ts"] < T).all()
+    # 3. per-bucket re-aggregated content equals the all-raw batch
+    # oracle EXACTLY (all metric values are integral, so the sums are
+    # float64-exact) — any fence leak would double-count cnt/sum_v
+    oracle = rollup_points(turn_metrics(ingest(t_small_df)),
+                           tiers=("1h",)).toPandas()
+    oracle["bucket_ts"] = oracle["bucket_ts"].astype("datetime64[us]")
+    agg = got.groupby(key, as_index=False).agg(
+        cnt=("cnt", "sum"), sum_v=("sum_v", "sum"),
+        min_v=("min_v", "min"), max_v=("max_v", "max"))
+    merged = agg.merge(oracle, on=key, suffixes=("", "_o"))
+    assert len(merged) == len(agg), "stored bucket missing from oracle"
+    for c in ("cnt", "sum_v", "min_v", "max_v"):
+        assert (merged[c] == merged[f"{c}_o"]).all(), c
+
+    # 4. nightly rebuild over the grown raw reclaims ownership
+    run_rollup_job(spark, lambda: t_small_df, store, "night2",
+                   num_partitions=3, tiers=("1h",))
+    ref = TieredStore(tmp_path / "scratch_ref")
+    run_rollup_job(spark, lambda: t_small_df, ref, "ref",
+                   num_partitions=3, tiers=("1h",))
+    skey = key + ["p"]
+    a = store.read_tier(spark, "1h").toPandas() \
+        .sort_values(skey, kind="mergesort").reset_index(drop=True)
+    b = ref.read_tier(spark, "1h").toPandas() \
+        .sort_values(skey, kind="mergesort").reset_index(drop=True)
+    cols = [c for c in a.columns if c != "chunk"]
+    pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
+    assert all(bytes(x) == bytes(y) for x, y in zip(a["chunk"], b["chunk"]))
+    assert not list(store.tier_dir("1h").rglob("stream-*")), \
+        "whole-shard replace must reclaim the streamed tail files"
+
+
 def test_streaming_sessionize(spark, tmp_path):
     """Built-in session-window sessionization through the bounded
     replay: emitted rows == the closed sessions (end <= terminal
