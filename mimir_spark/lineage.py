@@ -230,6 +230,18 @@ class TieredStore:
             if date < cutoff_date:
                 shutil.rmtree(ddir)
                 dropped.append(str(ddir))
+        # streaming applied-batch ledgers age with their dates too —
+        # at years x dates x tiers they are unbounded sidecar growth,
+        # and a ledger for an expired date guards nothing (replay of
+        # that old a batch only happens from a checkpoint that has
+        # already consumed it). metrics.jsonl stays: it is the
+        # append-only ingest history, retention-independent.
+        led_dir = self.root / "_streaming" / f"tier={tier}"
+        for led in sorted(led_dir.glob("bucket_date=*.json")):
+            if led.name.split("=", 1)[1].removesuffix(".json") \
+                    < cutoff_date:
+                led.unlink()
+                dropped.append(str(led))
         return dropped
 
     def _stage_promote(self, df: DataFrame, tier: str, name: str) -> int:

@@ -349,3 +349,19 @@ def test_stream_job_cli_once_and_rerun(spark, t_small_df, tmp_path,
     sk_tot = status["tiers"]["sketch=1h"]["totals"]
     assert sk_tot["rows"] >= k1  # pre-merge contributions >= merged rows
     assert sk_tot["batches"] >= 1
+
+    # retention ages the streaming ledgers with their dates; the
+    # metrics history (append-only ingest log) survives
+    import pathlib
+
+    led_dir = pathlib.Path(store_dir) / "_streaming" / "tier=1h"
+    led_dates = sorted(p.name.split("=", 1)[1].removesuffix(".json")
+                       for p in led_dir.glob("bucket_date=*.json"))
+    assert len(led_dates) >= 2
+    cutoff = led_dates[-1]  # drop all but the newest date
+    s.expire("1h", cutoff)
+    left = sorted(p.name.split("=", 1)[1].removesuffix(".json")
+                  for p in led_dir.glob("bucket_date=*.json"))
+    assert left == [led_dates[-1]]
+    assert (led_dir / "metrics.jsonl").exists()
+    assert s.read_tier(spark, "1h").count() > 0
