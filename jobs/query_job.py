@@ -78,7 +78,16 @@ def main(argv=None) -> int:
     gaps.add_argument("--tier", default="1m")
     gaps.add_argument("--metric", default=None)
 
-    for p in (rng, rate, pts, lttb, dst, gaps):
+    qtl = sub.add_parser("quantile", help="approximate quantiles per "
+                                          "step from a persisted "
+                                          "histogram tier (bin merge)")
+    qtl.add_argument("--metric", required=True)
+    qtl.add_argument("--step", default="1h")
+    qtl.add_argument("--tier", default=None)
+    qtl.add_argument("--q", default="0.5,0.9,0.99",
+                     help="comma list of quantiles in [0,1]")
+
+    for p in (rng, rate, pts, lttb, dst, gaps, qtl):
         p.add_argument("--kind", default=None)
         p.add_argument("--series-key", default=None)
         p.add_argument("--t0", default=None)
@@ -117,6 +126,18 @@ def main(argv=None) -> int:
         from mimir_spark.read_path import query_range_distinct
 
         df = query_range_distinct(spark, store, args.metric,
+                                  step=args.step, t0=args.t0, t1=args.t1,
+                                  kind=args.kind,
+                                  series_key=args.series_key,
+                                  tier=args.tier)
+    elif args.mode == "quantile":
+        from mimir_spark.read_path import query_range_quantile
+
+        qs = {}
+        for tok in filter(None, args.q.split(",")):
+            q = float(tok)
+            qs[f"p{q * 100:g}".replace(".", "_")] = q
+        df = query_range_quantile(spark, store, args.metric, qs=qs,
                                   step=args.step, t0=args.t0, t1=args.t1,
                                   kind=args.kind,
                                   series_key=args.series_key,

@@ -44,6 +44,14 @@ def main(argv=None) -> int:
                          "comma list of tier:column, e.g. "
                          "1h:conv_id,1d:conv_id (serves query_job "
                          "'distinct'; one extra source scan per column)")
+    ap.add_argument("--histogram", default="",
+                    help="also build quantile-histogram tiers over the "
+                         "point values: comma list of tiers, e.g. "
+                         "1h,1d (serves query_range_quantile; one "
+                         "extra source scan, coarser tiers cascade)")
+    ap.add_argument("--hist-alpha", type=float, default=None,
+                    help="relative-error target for --histogram bins "
+                         "(default 0.01)")
     ap.add_argument("--status", action="store_true",
                     help="report per-partition lineage for --job-id "
                          "(rows in, points out, bytes compressed, "
@@ -82,6 +90,20 @@ def main(argv=None) -> int:
         tier_owner[tier] = col
         by_col.setdefault(col, []).append(tier)
 
+    hist_tiers: list[str] = []
+    if args.histogram:
+        from mimir_spark.rollup import TIER_US as _TU
+        for tier in filter(None, args.histogram.split(",")):
+            if tier not in _TU:
+                ap.error(f"--histogram: unknown tier {tier!r} "
+                         f"(expected one of {sorted(_TU)})")
+            if tier in hist_tiers:
+                ap.error(f"--histogram: tier {tier} listed twice")
+            hist_tiers.append(tier)
+        hist_tiers.sort(key=lambda t: _TU[t])
+    if args.hist_alpha is not None and not hist_tiers:
+        ap.error("--hist-alpha without --histogram")
+
     from mimir_spark.lineage import run_rollup_job, tiered_store
     from mimir_spark.session import get_spark
     from mimir_spark.sources.tables import read_table
@@ -101,6 +123,10 @@ def main(argv=None) -> int:
     if by_col and not hasattr(store, "write_sketch_tier"):
         ap.error(f"--distinct-sketch: the {type(store).__name__} "
                  f"backend does not support sketch tiers (parquet "
+                 f"TieredStore only for now)")
+    if hist_tiers and not hasattr(store, "write_hist_tier"):
+        ap.error(f"--histogram: the {type(store).__name__} backend "
+                 f"does not support histogram tiers (parquet "
                  f"TieredStore only for now)")
 
     if args.status:
@@ -168,6 +194,24 @@ def main(argv=None) -> int:
                 n = store.compact_sketch_tier(spark, prev, tier)
                 print(f"sketch tier {tier} (distinct {col}) "
                       f"cascaded from {prev}: {n} rows")
+
+    if hist_tiers:
+        # same post-job shape as --distinct-sketch: ONE extra source
+        # scan builds the finest requested histogram tier; coarser
+        # tiers cascade from it by bin addition (exact over the
+        # sketch state), reading O(series x buckets x bins) rows
+        from mimir_spark.histogram import DEFAULT_ALPHA, rollup_histogram
+        from mimir_spark.ingest import ingest, turn_metrics
+
+        alpha = DEFAULT_ALPHA if args.hist_alpha is None else args.hist_alpha
+        points = turn_metrics(ingest(source()))
+        finest = hist_tiers[0]
+        store.write_hist_tier(
+            rollup_histogram(points, finest, alpha=alpha), finest)
+        print(f"histogram tier {finest} (alpha={alpha}) written")
+        for prev, tier in zip(hist_tiers, hist_tiers[1:]):
+            n = store.compact_hist_tier(spark, prev, tier)
+            print(f"histogram tier {tier} cascaded from {prev}: {n} rows")
     return 0
 
 

@@ -86,19 +86,21 @@ class TieredStore:
     def sketch_dir(self, tier: str) -> Path:
         return self.root / f"sketch={tier}"
 
-    def write_sketch_tier(self, sketch_df: DataFrame, tier: str) -> None:
-        """Persist a distinct-count sketch tier (rollup_distinct_sketch
-        output) next to the aggregate tiers: date-partitioned like
-        them (same O(metadata) expiry applies via the shared layout),
-        atomically swapped into place, one file per date leaf with
-        series-sorted rows (_cluster_for_store)."""
-        out = self.sketch_dir(tier)
+    def hist_dir(self, tier: str) -> Path:
+        return self.root / f"hist={tier}"
+
+    def _write_aux_tier(self, df: DataFrame, out: Path) -> None:
+        """Shared auxiliary-tier (sketch / histogram) writer:
+        date-partitioned like the aggregate tiers (same O(metadata)
+        expiry via the shared layout), atomically swapped into place,
+        one file per date leaf with series-sorted rows
+        (_cluster_for_store)."""
         tmp = out.with_name(out.name + ".tmp")
         if tmp.exists():
             shutil.rmtree(tmp)
         (
             _cluster_for_store(
-                sketch_df.withColumn("bucket_date", F.to_date("bucket_ts")),
+                df.withColumn("bucket_date", F.to_date("bucket_ts")),
                 ["bucket_date"])
             .write.mode("overwrite")
             .partitionBy("bucket_date")
@@ -108,10 +110,27 @@ class TieredStore:
             shutil.rmtree(out)
         tmp.rename(out)
 
+    def write_sketch_tier(self, sketch_df: DataFrame, tier: str) -> None:
+        """Persist a distinct-count sketch tier (rollup_distinct_sketch
+        output) next to the aggregate tiers."""
+        self._write_aux_tier(sketch_df, self.sketch_dir(tier))
+
+    def write_hist_tier(self, hist_df: DataFrame, tier: str) -> None:
+        """Persist a quantile-histogram tier (histogram.rollup_histogram
+        output) next to the aggregate tiers — same layout, swap, and
+        expiry discipline as the distinct-sketch tier."""
+        self._write_aux_tier(hist_df, self.hist_dir(tier))
+
     def read_sketch_tier(self, spark: SparkSession, tier: str) -> DataFrame:
         return (
             spark.read.option("basePath", str(self.sketch_dir(tier)))
             .parquet(str(self.sketch_dir(tier)))
+        )
+
+    def read_hist_tier(self, spark: SparkSession, tier: str) -> DataFrame:
+        return (
+            spark.read.option("basePath", str(self.hist_dir(tier)))
+            .parquet(str(self.hist_dir(tier)))
         )
 
     def compact_sketch_tier(self, spark: SparkSession, from_tier: str,
@@ -136,9 +155,28 @@ class TieredStore:
         Returns the row count written across replaced dates."""
         from .rollup import cascade_distinct_sketch
 
-        if not any(self.sketch_dir(from_tier).glob("bucket_date=*")):
+        return self._compact_aux_tier(
+            spark, self.sketch_dir, self.read_sketch_tier,
+            cascade_distinct_sketch, "sketch", from_tier, to_tier, since)
+
+    def compact_hist_tier(self, spark: SparkSession, from_tier: str,
+                          to_tier: str, since: str | None = None) -> int:
+        """Derive a coarser quantile-histogram tier from a finer one by
+        bin addition (histogram.cascade_histogram) — exact over the
+        sketch state, same incremental-``since`` and crash-swap
+        semantics as compact_sketch_tier."""
+        from .histogram import cascade_histogram
+
+        return self._compact_aux_tier(
+            spark, self.hist_dir, self.read_hist_tier,
+            cascade_histogram, "hist", from_tier, to_tier, since)
+
+    def _compact_aux_tier(self, spark: SparkSession, dir_of, read_of,
+                          cascade_fn, label: str, from_tier: str,
+                          to_tier: str, since: str | None) -> int:
+        if not any(dir_of(from_tier).glob("bucket_date=*")):
             return 0
-        fine = self.read_sketch_tier(spark, from_tier)
+        fine = read_of(spark, from_tier)
         if since is not None:
             # incremental maintenance: every tier bucket nests within
             # one date, so recomputing only dates >= since is exact —
@@ -147,10 +185,10 @@ class TieredStore:
             # not O(tier))
             fine = fine.filter(F.col("bucket_date") >= F.lit(since))
         fine = fine.drop("bucket_date")
-        coarse = cascade_distinct_sketch(fine, to_tier) \
+        coarse = cascade_fn(fine, to_tier) \
             .withColumn("bucket_date", F.to_date("bucket_ts"))
         staging = self.root / "_staging" / \
-            f"sketch-compact-{from_tier}-{to_tier}"
+            f"{label}-compact-{from_tier}-{to_tier}"
         if staging.exists():
             shutil.rmtree(staging)
         (
@@ -159,7 +197,7 @@ class TieredStore:
             .partitionBy("bucket_date")
             .parquet(str(staging))
         )
-        out_root = self.sketch_dir(to_tier)
+        out_root = dir_of(to_tier)
         existed = out_root.exists()
         out_root.mkdir(parents=True, exist_ok=True)
         # repair a previously crashed swap BEFORE touching ledgers: an
@@ -196,7 +234,7 @@ class TieredStore:
                 shutil.rmtree(out_root, ignore_errors=True)
             return 0
         return (
-            self.read_sketch_tier(spark, to_tier)
+            read_of(spark, to_tier)
             .filter(F.col("bucket_date").cast("string").isin(replaced))
             .count()
         )
@@ -222,14 +260,16 @@ class TieredStore:
             if date < cutoff_date:
                 shutil.rmtree(pdir)
                 dropped.append(str(pdir))
-        # a sketch tier of the same granularity ages with its
-        # aggregate tier: same policy, same O(metadata) drop (sketch
-        # tiers are unsharded — date dirs sit directly under the root)
-        for ddir in sorted(self.sketch_dir(tier).glob("bucket_date=*")):
-            date = ddir.name.split("=", 1)[1]
-            if date < cutoff_date:
-                shutil.rmtree(ddir)
-                dropped.append(str(ddir))
+        # sketch and histogram tiers of the same granularity age with
+        # their aggregate tier: same policy, same O(metadata) drop
+        # (aux tiers are unsharded — date dirs sit directly under the
+        # root)
+        for aux in (self.sketch_dir(tier), self.hist_dir(tier)):
+            for ddir in sorted(aux.glob("bucket_date=*")):
+                date = ddir.name.split("=", 1)[1]
+                if date < cutoff_date:
+                    shutil.rmtree(ddir)
+                    dropped.append(str(ddir))
         # streaming applied-batch ledgers age with their dates too —
         # at years x dates x tiers they are unbounded sidecar growth,
         # and a ledger for an expired date guards nothing (replay of

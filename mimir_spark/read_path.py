@@ -389,3 +389,65 @@ def query_range_distinct(spark: SparkSession, store, metric: str,
     if t1 is not None:
         out = out.filter(F.col("bucket_ts") < _utc_instant(t1))
     return out
+
+
+def query_range_quantile(spark: SparkSession, store, metric: str,
+                         qs: dict[str, float] | None = None,
+                         step: str = "1h", t0: str | None = None,
+                         t1: str | None = None, kind: str | None = None,
+                         series_key: str | None = None,
+                         tier: str | None = None,
+                         tiers=("1m", "1h", "1d")) -> DataFrame:
+    """Approximate quantiles per step bucket, served from a PERSISTED
+    histogram tier (TieredStore.write_hist_tier of
+    histogram.rollup_histogram output) — the query_range verb for the
+    other non-additive aggregate: a p99-per-step cannot be derived
+    from finer p99s, but DDSketch-style bin counts ADD, so the same
+    coarsest-divisor tier rule applies and the estimate equals a
+    direct from-raw histogram at the step granularity (relative error
+    <= the tier's stored alpha). Pruning: bucket_date partition dirs +
+    row-group stats, identical to the aggregate path; quantile
+    evaluation is a pure expression fold — no Python anywhere.
+    Returns (kind, series_key, metric, bucket_ts, cnt, <one column per
+    requested quantile>); ``qs`` defaults to p50/p90/p99."""
+    from .histogram import histogram_over_step, with_quantiles
+
+    step_us = parse_step(step)
+    if tier is None:
+        # histogram tiers exist only where requested (like sketch
+        # tiers) — auto-select among the ones actually present
+        if hasattr(store, "hist_dir"):
+            present = [t for t in tiers
+                       if any(store.hist_dir(t).glob("bucket_date=*"))]
+            if not present:
+                raise ValueError(
+                    f"store has no histogram tier (looked for "
+                    f"{tuple(tiers)}); write one with rollup_job "
+                    "--histogram or TieredStore.write_hist_tier")
+            tiers = present
+        tier = select_tier(step, tiers)
+    if step_us % TIER_US[tier] != 0:
+        raise ValueError(f"step {step!r} is not a multiple of tier {tier!r}")
+    df = store.read_hist_tier(spark, tier)
+    if kind is not None:
+        df = df.filter(F.col("kind") == kind)
+    if series_key is not None:
+        df = df.filter(F.col("series_key") == series_key)
+    if metric is not None:
+        df = df.filter(F.col("metric") == metric)
+    if t0 is not None:
+        df = df.filter(F.col("bucket_date") >= _utc_date(t0))
+        df = df.filter(F.col("bucket_ts") >= _utc_instant(t0, tier))
+    if t1 is not None:
+        df = df.filter(F.col("bucket_ts") < _utc_instant(t1))
+        df = df.filter(F.col("bucket_date") <= _utc_date(t1))
+    if qs is None:
+        qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    merged = histogram_over_step(df.drop("bucket_date"),
+                                 step_us // 1_000_000)
+    out = with_quantiles(merged, qs) \
+        .select("kind", "series_key", "metric", "bucket_ts", "cnt",
+                *qs.keys())
+    if t1 is not None:
+        out = out.filter(F.col("bucket_ts") < _utc_instant(t1))
+    return out
