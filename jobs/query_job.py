@@ -87,7 +87,31 @@ def main(argv=None) -> int:
     qtl.add_argument("--q", default="0.5,0.9,0.99",
                      help="comma list of quantiles in [0,1]")
 
-    for p in (rng, rate, pts, lttb, dst, gaps, qtl):
+    topk = sub.add_parser("topk", help="k series with the largest "
+                                       "(or --bottom smallest) range "
+                                       "aggregate — PromQL topk, "
+                                       "served from stored tiers")
+    topk.add_argument("--metric", required=True)
+    topk.add_argument("--k", type=int, default=10)
+    topk.add_argument("--agg", default="sum",
+                      choices=["sum", "count", "min", "max", "avg"])
+    topk.add_argument("--bottom", action="store_true")
+    topk.add_argument("--tier", default=None)
+
+    anom = sub.add_parser("anomalies", help="step buckets whose value "
+                                            "deviates >= threshold "
+                                            "rolling z-scores from the "
+                                            "trailing window")
+    anom.add_argument("--metric", required=True)
+    anom.add_argument("--agg", default="avg",
+                      choices=["sum", "count", "min", "max", "last", "avg"])
+    anom.add_argument("--step", default="1h")
+    anom.add_argument("--tier", default=None)
+    anom.add_argument("--threshold", type=float, default=3.0)
+    anom.add_argument("--window", type=int, default=20,
+                      help="trailing buckets in the baseline")
+
+    for p in (rng, rate, pts, lttb, dst, gaps, qtl, topk, anom):
         p.add_argument("--kind", default=None)
         p.add_argument("--series-key", default=None)
         p.add_argument("--t0", default=None)
@@ -148,6 +172,23 @@ def main(argv=None) -> int:
         df = query_gaps(spark, store, metric=args.metric, tier=args.tier,
                         t0=args.t0, t1=args.t1, kind=args.kind,
                         series_key=args.series_key)
+    elif args.mode == "topk":
+        from mimir_spark.read_path import query_topk_series
+
+        df = query_topk_series(spark, store, args.metric, args.k,
+                               agg=args.agg, t0=args.t0, t1=args.t1,
+                               kind=args.kind, bottom=args.bottom,
+                               tier=args.tier)
+    elif args.mode == "anomalies":
+        from mimir_spark.functions.timeseries import detect_anomalies
+
+        served = query_range(spark, store, args.metric, agg=args.agg,
+                             step=args.step, t0=args.t0, t1=args.t1,
+                             kind=args.kind, series_key=args.series_key,
+                             tier=args.tier)
+        df = detect_anomalies(served, threshold=args.threshold,
+                              value_col="value", n=args.window,
+                              time_col="bucket_ts")
     else:
         df = series_points(spark, store, args.tier, kind=args.kind,
                            series_key=args.series_key, metric=args.metric,

@@ -71,3 +71,101 @@ def range_increase(points: DataFrame, tier: str,
         .agg(F.sum("increase").alias("increase"),
              F.count("*").alias("n_samples"))
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-series arithmetic — the PromQL binary-op analogue
+# ---------------------------------------------------------------------------
+
+_BINOPS = ("+", "-", "*", "/")
+
+
+def series_binop(df: DataFrame, left_metric: str, right_metric: str,
+                 op: str = "/", out_metric: str | None = None,
+                 value_col: str = "sum_v", time_col: str = "bucket_ts",
+                 series_cols: tuple[str, ...] = ("kind", "series_key")
+                 ) -> DataFrame:
+    """Arithmetic between two METRICS of the same series — the PromQL
+    vector-binary-op analogue (`a / b` with on(kind, series_key)
+    matching), e.g. tokens-per-turn = token_volume / turn_rate.
+
+    Spark-first shape: NOT a self-join. Both metrics live in the same
+    frame, so one conditional-aggregation groupBy pivots them side by
+    side — ONE shuffle on (series, bucket), no join, no broadcast.
+    Works on any frame with the series/time vocabulary: rollup tiers
+    (value_col='sum_v'), query_range output (value_col='value',
+    metric-filtered upstream is fine as long as both metrics remain),
+    or raw points (value_col='v', time_col='ts').
+
+    Matching is inner (PromQL's default): buckets where either side is
+    absent emit nothing. Division by zero yields NULL, never an error
+    (guarded for ANSI mode) and never +-Inf."""
+    if op not in _BINOPS:
+        raise ValueError(f"unknown op {op!r} (one of {_BINOPS})")
+    lv = F.max(F.when(F.col("metric") == left_metric,
+                      F.col(value_col))).alias("_lv")
+    rv = F.max(F.when(F.col("metric") == right_metric,
+                      F.col(value_col))).alias("_rv")
+    grouped = (
+        df.filter(F.col("metric").isin([left_metric, right_metric]))
+        .groupBy(*series_cols, time_col)
+        .agg(lv, rv)
+        .filter(F.col("_lv").isNotNull() & F.col("_rv").isNotNull())
+    )
+    a, b = F.col("_lv"), F.col("_rv")
+    if op == "+":
+        val = a + b
+    elif op == "-":
+        val = a - b
+    elif op == "*":
+        val = a * b
+    else:
+        val = F.when(b != 0, a / b)
+    name = out_metric or f"{left_metric}{op}{right_metric}"
+    return (
+        grouped.withColumn("metric", F.lit(name))
+        .select(*series_cols, "metric", time_col,
+                val.alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def with_zscore(points: DataFrame, value_col: str = "v", n: int = 20,
+                min_periods: int = 5, time_col: str = "ts",
+                series_cols: tuple[str, ...] = SERIES_COLS) -> DataFrame:
+    """Rolling z-score per series: (v - mean) / stddev over the
+    TRAILING n samples EXCLUDING the current one — a spike must not
+    inflate its own baseline. NULL until ``min_periods`` prior samples
+    exist or while the trailing window has zero variance (a constant
+    baseline makes any deviation infinitely surprising; surfacing NULL
+    instead of +-inf keeps downstream filters sane).
+
+    One window (one shuffle on the series key), pure expressions —
+    the same scale shape as with_rate."""
+    if n < 1 or min_periods < 2:
+        raise ValueError("need n >= 1 and min_periods >= 2")
+    w = (Window.partitionBy(*series_cols).orderBy(time_col)
+         .rowsBetween(-n, -1))
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    cnt = F.count(v).over(w)
+    z = F.when((cnt >= min_periods) & (sd > 0), (v - mean) / sd)
+    return points.withColumn("zscore", z)
+
+
+def detect_anomalies(points: DataFrame, threshold: float = 3.0,
+                     value_col: str = "v", n: int = 20,
+                     min_periods: int = 5, time_col: str = "ts",
+                     series_cols: tuple[str, ...] = SERIES_COLS
+                     ) -> DataFrame:
+    """Rows whose |rolling z-score| >= threshold — the alerting verb
+    over raw points or served buckets (pass time_col='bucket_ts',
+    value_col='value' for query_range output)."""
+    return (with_zscore(points, value_col, n, min_periods, time_col,
+                        series_cols)
+            .filter(F.abs(F.col("zscore")) >= threshold))

@@ -451,3 +451,65 @@ def query_range_quantile(spark: SparkSession, store, metric: str,
     if t1 is not None:
         out = out.filter(F.col("bucket_ts") < _utc_instant(t1))
     return out
+
+
+def _align_tier(t0: str | None, t1: str | None,
+                tiers=("1m", "1h", "1d")) -> str:
+    """Coarsest stored tier whose buckets NEST inside [t0, t1): both
+    given bounds must land on tier-bucket boundaries. A range total
+    served from a tier whose edge bucket straddles a bound would
+    silently include out-of-range points; alignment makes any tier
+    choice value-identical (associativity over whole buckets)."""
+    fits = []
+    for t in tiers:
+        ok = True
+        for s in (t0, t1):
+            if s is None:
+                continue
+            ts = pd.Timestamp(s)
+            if ts.tz is not None:
+                ts = ts.tz_convert("UTC").tz_localize(None)
+            if (ts.value // 1000) % TIER_US[t] != 0:
+                ok = False
+                break
+        if ok:
+            fits.append(t)
+    if not fits:
+        raise ValueError(
+            f"range ({t0!r}, {t1!r}) aligns to no stored tier "
+            f"{tuple(tiers)}; align the bounds or pass tier= explicitly")
+    return max(fits, key=lambda t: TIER_US[t])
+
+
+def query_topk_series(spark: SparkSession, store, metric: str, k: int,
+                      agg: str = "sum", t0: str | None = None,
+                      t1: str | None = None, kind: str | None = None,
+                      bottom: bool = False, tier: str | None = None,
+                      tiers=("1m", "1h", "1d")) -> DataFrame:
+    """The k series with the largest (or, with ``bottom``, smallest)
+    aggregate of ``metric`` over the range — the PromQL topk/bottomk
+    analogue, served ENTIRELY from stored aggregates: no decode, no
+    Python, one hash aggregate per series over the PRUNED slice of the
+    coarsest range-aligned tier, then orderBy+limit (compiles to
+    TakeOrderedAndProject: per-partition heaps of k, driver merge of
+    k). At 100 TB a month-long top-10 reads the 1d tier's ~30 rows
+    per series, never raw points.
+
+    ``agg``: the same associative re-aggregations query_range serves
+    (sum/count/min/max/avg; 'last' is meaningless as a range total).
+    Ties break on series_key ascending (deterministic paging).
+    Returns (kind, series_key, metric, value)."""
+    if agg not in _REAGG or agg == "last":
+        choices = sorted(set(_REAGG) - {"last"})
+        raise ValueError(f"unknown agg {agg!r} (one of {choices})")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tier = tier or _align_tier(t0, t1, tiers)
+    rows = _pruned_tier(spark, store, tier, kind, None, metric, t0, t1)
+    totals = (
+        rows.groupBy("kind", "series_key", "metric")
+        .agg(_REAGG[agg]().alias("value"))
+    )
+    order = F.asc("value") if bottom else F.desc("value")
+    return totals.orderBy(order, F.asc("series_key"),
+                          F.asc("kind")).limit(k)
