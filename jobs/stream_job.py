@@ -46,7 +46,8 @@ def _print_status(store_root: str) -> int:
     streaming = pathlib.Path(store_root) / "_streaming"
     out = {"store": store_root, "tiers": {}}
     for side in sorted(streaming.glob("tier=*")) + \
-            sorted(streaming.glob("sketch=*")):
+            sorted(streaming.glob("sketch=*")) + \
+            sorted(streaming.glob("hist=*")):
         if not side.is_dir():
             continue
         dates: dict = {}
@@ -98,6 +99,13 @@ def main(argv=None) -> int:
     ap.add_argument("--distinct-sketch", default="",
                     help="also maintain an HLL distinct sketch tier "
                          "over this column (e.g. conv_id)")
+    ap.add_argument("--histogram", action="store_true",
+                    help="also maintain a quantile-histogram tier "
+                         "over the point values (serves query_job "
+                         "'quantile')")
+    ap.add_argument("--hist-alpha", type=float, default=None,
+                    help="relative-error target for --histogram bins "
+                         "(default 0.01)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--valid-from", default=None, metavar="TS",
                     help="drop rows with event time before TS")
@@ -122,8 +130,12 @@ def main(argv=None) -> int:
     from mimir_spark.lineage import TieredStore
     from mimir_spark.session import get_spark
     from mimir_spark.streaming.rollup_stream import (
-        chunk_store_sink, sketch_store_sink, streaming_distinct_sketch,
+        chunk_store_sink, hist_store_sink, sketch_store_sink,
+        streaming_distinct_sketch, streaming_histogram,
         streaming_rollup_chunks, valid_event_time)
+
+    if args.hist_alpha is not None and not args.histogram:
+        ap.error("--hist-alpha without --histogram")
 
     spark = get_spark("stream-job", cpus=args.cpus)
     store = TieredStore(args.store)
@@ -161,6 +173,13 @@ def main(argv=None) -> int:
                                       distinct_col=args.distinct_sketch),
             sketch_store_sink(store, args.tier, app_id=args.app_id),
             "sketch"))
+    if args.histogram:
+        queries.append(start(
+            streaming_histogram(reader(), tier=args.tier,
+                                watermark=args.watermark,
+                                alpha=args.hist_alpha),
+            hist_store_sink(store, args.tier, app_id=args.app_id),
+            "hist"))
 
     for q in queries:
         q.awaitTermination()

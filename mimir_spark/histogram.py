@@ -153,6 +153,13 @@ def _merge_bins(hist_df: DataFrame, bucket, tier_lit) -> DataFrame:
     per_bin = (rows.groupBy(*_SERIES_COLS, bucket.alias("bucket_ts"),
                             "alpha", "sgn", "idx")
                .agg(F.sum("c").alias("c")))
+    return _assemble_bins(per_bin, tier_lit)
+
+
+def _assemble_bins(per_bin: DataFrame, tier_lit) -> DataFrame:
+    """(series, bucket_ts, alpha, sgn, idx, c) bin rows -> map-shaped
+    HIST_SCHEMA rows, alpha riding in the group keys (the merge-side
+    assembly; also the streaming sink's bin-row -> tier-row step)."""
     entry = F.struct(F.col("idx").alias("key"), F.col("c").alias("value"))
     return (
         per_bin.groupBy(*_SERIES_COLS, "bucket_ts", "alpha")

@@ -201,6 +201,48 @@ def streaming_distinct_sketch(stream: DataFrame, tier: str = "1m",
     )
 
 
+def streaming_histogram(stream: DataFrame, tier: str = "1m",
+                        watermark: str = "10 minutes",
+                        alpha: float | None = None) -> DataFrame:
+    """Continuous quantile-histogram BIN rows with event-time
+    watermarking — the streaming twin of histogram.rollup_histogram,
+    completing batch/stream symmetry for the second non-additive
+    aggregate.
+
+    Emits bin-LEVEL rows (tier, series, bucket_ts, alpha, sgn, idx,
+    c), not map rows: the map assembly is a second aggregation, and
+    chained streaming aggregations are unsupported in append mode —
+    so the single stateful operator counts per (series, bucket, sign,
+    bin) and hist_store_sink assembles/merges downstream. State per
+    group is one long; group cardinality is series x open buckets x
+    occupied bins, bounded by the watermark horizon. Bin indexing
+    reuses histogram._bin_index, so streamed bins land on EXACTLY the
+    batch path's grid (the bit-for-bit merge compatibility the sink's
+    exactness test pins)."""
+    from ..histogram import DEFAULT_ALPHA, _bin_index, gamma_of
+
+    if alpha is None:
+        alpha = DEFAULT_ALPHA
+    g = gamma_of(alpha)
+    unit = _TIER_UNIT[tier]
+    points = _deduped_points(stream, watermark)
+    v = F.col("v").cast("double")
+    sgn = (F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1))
+           .otherwise(F.lit(0)))
+    idx = F.when(v == 0, F.lit(0)).otherwise(_bin_index(v, g))
+    return (
+        points.withColumn("sgn", sgn).withColumn("idx", idx)
+        .groupBy(F.window("ts", unit).alias("w"),
+                 "kind", "series_key", "metric", "sgn", "idx")
+        .agg(F.count("*").alias("c"))
+        .select(F.lit(tier).alias("tier"),
+                "kind", "series_key", "metric",
+                _bucket_ntz("w.start").alias("bucket_ts"),
+                F.lit(float(alpha)).alias("alpha"),
+                "sgn", "idx", "c")
+    )
+
+
 #: Per-date ledger sidecar for the streaming sketch sink:
 #: `_`-prefixed, so the parquet reader skips it; each bucket_date dir
 #: carries ITS OWN ledger and swaps atomically with its data.
@@ -252,7 +294,81 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
     TieredStore sketch tier — the production end of
     streaming_distinct_sketch: emitted closed buckets union (HLL +
     summed cnt) into the persisted tier that query_range_distinct
-    serves.
+    serves. The merge/ledger/swap machinery is shared with the
+    histogram sink (`_mergeable_store_sink`, where the crash-safety
+    contract is documented)."""
+    from ..rollup import _union_sketches
+
+    cols = ["kind", "series_key", "metric", "bucket_ts", "cnt",
+            "distinct_sketch"]
+
+    def stats_agg(new: DataFrame) -> DataFrame:
+        return new.groupBy("bucket_date").agg(
+            F.count("*").alias("rows"),
+            F.sum("cnt").alias("points"),
+            F.sum(F.octet_length("distinct_sketch"))
+            .alias("sketch_bytes"))
+
+    def merge(part: DataFrame) -> DataFrame:
+        return _union_sketches(
+            part, F.col("bucket_ts").alias("bucket_ts"), F.lit(tier))
+
+    return _mergeable_store_sink(
+        store, app_id, root=store.sketch_dir(tier),
+        metrics_dir=store.root / "_streaming" / f"sketch={tier}",
+        cols=cols, stats_agg=stats_agg, merge=merge)
+
+
+def hist_store_sink(store, tier: str, app_id: str = "stream"):
+    """foreachBatch sink merging streamed histogram BIN rows
+    (streaming_histogram output) into a TieredStore histogram tier —
+    the streaming end of the quantile continuous aggregate that
+    query_range_quantile serves.
+
+    The stream emits bin-level rows (one streaming aggregation —
+    chained aggregations are unsupported in append mode, and a
+    per-bucket map assembly in-stream would be a second one); this
+    sink assembles them into the tier's map-shaped rows
+    (histogram._collect_bins over THIS batch's rows) and merges with
+    the date partition's existing rows by bin addition
+    (histogram._merge_bins) — exact whether a bucket's bins arrive in
+    one batch or split across several. Ledger/swap semantics are
+    `_mergeable_store_sink`'s."""
+    from ..histogram import _OUT_COLS, _merge_bins
+
+    cols = [c for c in _OUT_COLS if c != "tier"]
+
+    def prepare(new: DataFrame) -> DataFrame:
+        from ..histogram import _assemble_bins
+
+        # bin rows -> map rows, alpha riding in the group keys like
+        # every histogram merge
+        per_bin = new.groupBy(
+            "kind", "series_key", "metric", "bucket_ts", "alpha",
+            "sgn", "idx").agg(F.sum("c").alias("c"))
+        return _assemble_bins(per_bin, F.lit(tier)).select(*cols)
+
+    def stats_agg(new: DataFrame) -> DataFrame:
+        return new.groupBy("bucket_date").agg(
+            F.count("*").alias("rows"),
+            F.sum("cnt").alias("points"),
+            F.sum(F.size("pos_bins") + F.size("neg_bins"))
+            .alias("bins"))
+
+    def merge(part: DataFrame) -> DataFrame:
+        return _merge_bins(part, F.col("bucket_ts"), F.lit(tier))
+
+    return _mergeable_store_sink(
+        store, app_id, root=store.hist_dir(tier),
+        metrics_dir=store.root / "_streaming" / f"hist={tier}",
+        cols=cols, stats_agg=stats_agg, merge=merge, prepare=prepare)
+
+
+def _mergeable_store_sink(store, app_id: str, *, root, metrics_dir,
+                          cols: list, stats_agg, merge, prepare=None):
+    """Shared foreachBatch sink for MERGEABLE auxiliary tiers (HLL
+    sketches, quantile histograms): each micro-batch's closed buckets
+    merge into the persisted date partitions the read path serves.
 
     Scale shape: the merge is scoped PER bucket_date — closed buckets
     cluster just behind the watermark, so each micro-batch touches
@@ -288,6 +404,12 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
     never landed); incomplete staged dirs are discarded. No window
     loses the date dir: the data is always in at least one of
     live/staged-complete/old.
+
+    ``prepare`` (optional) maps the batch's emitted rows to the
+    tier's row shape BEFORE the per-date merge (the histogram sink
+    assembles bin rows into map rows there); ``merge`` re-aggregates
+    a union of new + existing rows; ``stats_agg`` produces the
+    per-date lineage metrics row.
     """
     import json
     import shutil
@@ -337,36 +459,28 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
         return False
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        from ..rollup import _union_sketches
-
         nonlocal entry, batch_key
         batch_key = str(batch_id)
         entry = f"{app_id}/{batch_id}"
-        cols = ["kind", "series_key", "metric", "bucket_ts", "cnt",
-                "distinct_sketch"]
+        shaped = batch_df.withColumn("bucket_ts", F.expr(_NTZ_TO_INSTANT))
+        if prepare is not None:
+            shaped = prepare(shaped)
         new = (
-            batch_df.withColumn("bucket_ts", F.expr(_NTZ_TO_INSTANT))
-            .select(*cols)
+            shaped.select(*cols)
             .withColumn("bucket_date", F.to_date("bucket_ts"))
         ).persist()
         try:
             # 1-2 closed dates per batch: a bounded driver-side list;
             # the agg doubles as the per-(app, batch, date) lineage
             # metrics record (this batch's contribution, pre-merge)
-            stats = {str(r["bucket_date"]): {
-                         "rows": r["rows"], "points": r["points"],
-                         "sketch_bytes": r["sketch_bytes"]}
-                     for r in new.groupBy("bucket_date").agg(
-                         F.count("*").alias("rows"),
-                         F.sum("cnt").alias("points"),
-                         F.sum(F.octet_length("distinct_sketch"))
-                         .alias("sketch_bytes")).collect()}
+            stats = {str(r["bucket_date"]):
+                     {k: v for k, v in r.asDict().items()
+                      if k != "bucket_date"}
+                     for r in stats_agg(new).collect()}
             dates = sorted(stats)
             if not dates:
                 return
             spark = batch_df.sparkSession
-            metrics_dir = store.root / "_streaming" / f"sketch={tier}"
-            root = store.sketch_dir(tier)
             root.mkdir(parents=True, exist_ok=True)
             for d in dates:
                 if _repair(root, d):
@@ -380,9 +494,7 @@ def sketch_store_sink(store, tier: str, app_id: str = "stream"):
                 if any(ddir.glob("*.parquet")):
                     part = spark.read.parquet(str(ddir)) \
                         .select(*cols).unionByName(part)
-                merged = _union_sketches(
-                    part, F.col("bucket_ts").alias("bucket_ts"),
-                    F.lit(tier))
+                merged = merge(part)
                 staged = root / f".stage-{d}-{app_id}-{batch_key}"
                 if staged.exists():
                     shutil.rmtree(staged)

@@ -689,3 +689,95 @@ def test_chunk_store_sink_end_to_end(spark, t_small_df, stream_dir,
     pts_1h = decode_points(store.read_tier(spark, "1h")).count()
     pts_1d = decode_points(store.read_tier(spark, "1d")).count()
     assert pts_1d == pts_1h > 0
+
+
+def test_streaming_histogram_matches_batch(spark, t_small_df,
+                                           stream_dir):
+    """Streamed histogram BIN rows == the batch histogram's exploded
+    bins on the emitted (closed) buckets — the grid is shared
+    (histogram._bin_index), so streamed and batch tiers merge
+    bit-identically."""
+    from mimir_spark import histogram as H
+    from mimir_spark.streaming.rollup_stream import (replay_stream,
+                                                     streaming_histogram)
+
+    got = replay_stream(
+        spark, stream_dir, TRANSCRIPT_SCHEMA,
+        lambda s: streaming_histogram(s, tier="1h"),
+        "hist_stream").toPandas()
+    assert len(got) > 0, "stream must emit closed bins"
+
+    bkey = KEY + ["alpha", "sgn", "idx"]
+    batch = H._explode_bins(
+        H.rollup_histogram(turn_metrics(ingest(t_small_df)), "1h")) \
+        .toPandas()
+    got = got.sort_values(bkey, kind="mergesort").reset_index(drop=True)
+    sub = batch.merge(got[KEY].drop_duplicates(), on=KEY, how="inner") \
+        .sort_values(bkey, kind="mergesort").reset_index(drop=True)
+    assert len(sub) == len(got)
+    for c in ("sgn", "idx", "c"):
+        assert (got[c].to_numpy() == sub[c].to_numpy()).all(), c
+
+
+def test_hist_store_sink_end_to_end(spark, t_small_df, stream_dir,
+                                    tmp_path):
+    """streaming_histogram -> foreachBatch hist_store_sink: the
+    persisted histogram tier equals the batch rollup_histogram rows
+    (maps included) on the emitted buckets, serves
+    query_range_quantile, and a re-delivered batch id is a no-op."""
+    import json
+
+    from mimir_spark import histogram as H
+    from mimir_spark.lineage import TieredStore
+    from mimir_spark.read_path import query_range_quantile
+    from mimir_spark.streaming.rollup_stream import (hist_store_sink,
+                                                     streaming_histogram)
+
+    store = TieredStore(tmp_path / "hstream_store")
+    sink = hist_store_sink(store, "1h")
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(stream_dir)
+    q = (
+        streaming_histogram(stream, tier="1h")
+        .writeStream.outputMode("append").foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    cols = [c for c in H._OUT_COLS if c != "tier"]
+    got = store.read_hist_tier(spark, "1h") \
+        .select(*cols).toPandas() \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    assert len(got) > 0
+    batch = H.rollup_histogram(turn_metrics(ingest(t_small_df)), "1h") \
+        .select(*cols).toPandas()
+    sub = batch.merge(got[KEY], on=KEY, how="inner") \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    assert len(sub) == len(got)
+    pd.testing.assert_frame_equal(got, sub, check_dtype=False)
+
+    # the streamed tier serves the quantile verb
+    served = query_range_quantile(spark, store, "turn_rate", step="2h",
+                                  kind="tool")
+    assert served.count() > 0
+
+    # retry idempotence: re-deliver an applied batch id with bin rows
+    # that would double every count if merged
+    ledgers = sorted(store.hist_dir("1h")
+                     .glob("bucket_date=*/_applied_batches.json"))
+    assert ledgers
+    entries = sorted({e for f in ledgers
+                      for e in json.loads(f.read_text())})
+    applied = sorted(int(e.split("/", 1)[1]) for e in entries)
+    poison = H._explode_bins(
+        store.read_hist_tier(spark, "1h").drop("bucket_date")) \
+        .withColumn("bucket_ts",
+                    F.expr("cast(bucket_ts as timestamp_ntz)"))
+    sink(poison, applied[-1])
+    again = store.read_hist_tier(spark, "1h") \
+        .select(*cols).toPandas() \
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
