@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     ap.add_argument("--store", required=True, help="tier store root")
     ap.add_argument("--cascade", default="",
                     help="comma list of from:to tier pairs, e.g. 1m:1h,1h:1d")
+    ap.add_argument("--cascade-hist", default="",
+                    help="same for quantile-histogram tiers "
+                         "(bin addition, exact)")
     ap.add_argument("--cascade-sketch", default="",
                     help="comma list of from:to SKETCH tier pairs (HLL "
                          "union), e.g. 1m:1h,1h:1d")
@@ -71,6 +74,7 @@ def main(argv=None) -> int:
 
     cascades = _pairs("--cascade", args.cascade)
     sketch_cascades = _pairs("--cascade-sketch", args.cascade_sketch)
+    hist_cascades = _pairs("--cascade-hist", args.cascade_hist)
     expires = _pairs("--expire", args.expire)
     retain_pairs = _pairs("--retain", args.retain)
     if retain_pairs and not args.as_of:
@@ -87,6 +91,10 @@ def main(argv=None) -> int:
         ap.error(f"--cascade-sketch: the {type(store).__name__} backend "
                  f"does not support sketch tiers (parquet TieredStore "
                  f"only for now)")
+    if hist_cascades and not hasattr(store, "compact_hist_tier"):
+        ap.error(f"--cascade-hist: the {type(store).__name__} backend "
+                 f"does not support histogram tiers (parquet TieredStore "
+                 f"only for now)")
     for frm, to in cascades:
         n = store.compact_tier(spark, frm, to, max_points=args.max_points,
                                since=args.since)
@@ -94,6 +102,9 @@ def main(argv=None) -> int:
     for frm, to in sketch_cascades:
         n = store.compact_sketch_tier(spark, frm, to, since=args.since)
         print(f"cascade-sketch {frm}->{to}: {n} rows")
+    for frm, to in hist_cascades:
+        n = store.compact_hist_tier(spark, frm, to, since=args.since)
+        print(f"cascade-hist {frm}->{to}: {n} rows")
     for tier, cutoff in expires:
         dropped = store.expire(tier, cutoff)
         print(f"expire {tier} < {cutoff}: {len(dropped)} date partitions dropped")

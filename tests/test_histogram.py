@@ -300,3 +300,43 @@ def test_bin_midpoint_guarantee():
     est = 2.0 * np.power(g, idx) / (g + 1.0)
     rel = np.abs(est - v) / v
     assert rel.max() <= alpha + 1e-9
+
+
+def test_compact_job_cascade_hist(spark, t_small_df, tmp_path, capsys):
+    """compact_job --cascade-hist derives 1d from a persisted 1h
+    histogram tier (equal to the direct cascade), and --since makes a
+    re-run incremental: only dates >= since are replaced while older
+    coarse dates survive fine-tier expiry — the nightly-maintenance
+    loop for the quantile tiers."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    try:
+        import compact_job
+    finally:
+        sys.path.pop(0)
+
+    points = turn_metrics(ingest(t_small_df))
+    s = TieredStore(tmp_path / "store")
+    h1h = H.rollup_histogram(points, "1h")
+    s.write_hist_tier(h1h, "1h")
+    assert compact_job.main(["--store", str(s.root),
+                             "--cascade-hist", "1h:1d"]) == 0
+    assert "cascade-hist 1h->1d" in capsys.readouterr().out
+    assert _sorted_rows(
+        s.read_hist_tier(spark, "1d").drop("bucket_date")
+        .select(*H._OUT_COLS)) == _sorted_rows(
+            H.cascade_histogram(h1h, "1d"))
+
+    # expire the fine tier's oldest date, then re-cascade since a
+    # later date: the 1d row for the expired date must SURVIVE
+    dates = sorted(d.name.split("=", 1)[1]
+                   for d in s.hist_dir("1h").glob("bucket_date=*"))
+    assert len(dates) >= 3
+    s.expire("1h", dates[1])
+    assert compact_job.main(["--store", str(s.root),
+                             "--cascade-hist", "1h:1d",
+                             "--since", dates[2]]) == 0
+    left = sorted(d.name.split("=", 1)[1]
+                  for d in s.hist_dir("1d").glob("bucket_date=*"))
+    assert left == dates  # expired-fine date still served at 1d
