@@ -200,6 +200,19 @@ def _ensure_readpath_store(spark):
         store.write_sketch_tier(rollup_distinct_sketch(points, "1m"), "1m")
         store.compact_sketch_tier(spark, "1m", "1h")
         sk_marker.write_text("ok")
+    h_marker = out / "_BENCH_HIST_DONE"
+    if not h_marker.exists():
+        # quantile-serving tier: same single-scan production shape as
+        # rollup_job --histogram 1m,1h
+        from mimir_spark.histogram import rollup_histogram
+        from mimir_spark.ingest import ingest, turn_metrics
+
+        note("building histogram tiers on the read-path store")
+        corpus = _ensure_corpus(spark)
+        points = turn_metrics(ingest(spark.read.parquet(corpus)))
+        store.write_hist_tier(rollup_histogram(points, "1m"), "1m")
+        store.compact_hist_tier(spark, "1m", "1h")
+        h_marker.write_text("ok")
     return store
 
 
@@ -382,6 +395,16 @@ def main() -> int:
             return query_range(sp, rp_store, "token_volume", agg="avg",
                                step="2h", kind="tool", fill="locf")
 
+        def _x_query_quantile(sp, sf):
+            from mimir_spark.read_path import query_range_quantile
+
+            # the other non-additive aggregate: p50/p90/p99 per 2h
+            # step from the persisted DDSketch histogram tier — bin
+            # maps merge, a pure expression fold evaluates; no raw
+            # re-read, no Python (plan-asserted in tests)
+            return query_range_quantile(sp, rp_store, "token_volume",
+                                        step="2h", kind="tool")
+
         extras = [("lttb_downsample_events", _x_lttb),
                   ("pack_sequences_docs", _x_pack),
                   ("dedup_cluster_keep", _x_cluster)]
@@ -389,6 +412,7 @@ def main() -> int:
             extras.append(("read_path_series_points", _x_readpath))
             extras.append(("query_range_2h_avg", _x_query_range))
             extras.append(("query_range_distinct_2h", _x_query_distinct))
+            extras.append(("query_range_quantile_2h", _x_query_quantile))
         for name, fn in extras:
             t0 = time.monotonic()
             try:
