@@ -86,6 +86,10 @@ def main(argv=None) -> int:
     qtl.add_argument("--tier", default=None)
     qtl.add_argument("--q", default="0.5,0.9,0.99",
                      help="comma list of quantiles in [0,1]")
+    qtl.add_argument("--le", default="",
+                     help="comma list of value thresholds: also "
+                          "report estimated P(value <= t) per bucket "
+                          "(the SLO fraction verb)")
 
     topk = sub.add_parser("topk", help="k series with the largest "
                                        "(or --bottom smallest) range "
@@ -161,11 +165,15 @@ def main(argv=None) -> int:
         for tok in filter(None, args.q.split(",")):
             q = float(tok)
             qs[f"p{q * 100:g}".replace(".", "_")] = q
+        fractions = {}
+        for tok in filter(None, args.le.split(",")):
+            fractions[f"le_{tok.strip()}".replace(".", "_")] = float(tok)
         df = query_range_quantile(spark, store, args.metric, qs=qs,
                                   step=args.step, t0=args.t0, t1=args.t1,
                                   kind=args.kind,
                                   series_key=args.series_key,
-                                  tier=args.tier)
+                                  tier=args.tier,
+                                  fractions=fractions or None)
     elif args.mode == "gaps":
         from mimir_spark.read_path import query_gaps
 

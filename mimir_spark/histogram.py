@@ -268,3 +268,34 @@ def with_quantiles(hist_df: DataFrame,
             raise ValueError(f"quantile {name}={q} outside [0, 1]")
         out = out.withColumn(name, _quantile_fold(entries, q))
     return out
+
+
+def _fraction_fold(entries, threshold: float):
+    """Estimated fraction of values <= threshold: sum the counts of
+    entries whose bin estimate is <= threshold, over cnt. The bin
+    estimate carries the sketch's alpha relative-error bound, so the
+    only mass that can be miscounted lives in bins whose true values
+    straddle threshold*(1 +- alpha) — the standard DDSketch fraction
+    contract (exact when the threshold is not inside a populated
+    bin's error band)."""
+    acc0 = F.lit(0).cast("long")
+    below = F.aggregate(
+        entries, acc0,
+        lambda acc, e: acc + F.when(e["val"] <= F.lit(float(threshold)),
+                                    e["c"]).otherwise(F.lit(0)))
+    return below.cast("double") / F.col("cnt")
+
+
+def with_fractions(hist_df: DataFrame,
+                   thresholds: dict[str, float]) -> DataFrame:
+    """Append one estimated P(value <= t) column per (name, t) — the
+    SLO / Prometheus histogram_fraction verb over the same histogram
+    tiers the quantile fold serves: 'what fraction of tool turns kept
+    under 500 tokens this hour' without re-reading raw data. Pure
+    Catalyst (an expression fold inside the row), same plan shape as
+    with_quantiles."""
+    entries = _sorted_entries()
+    out = hist_df
+    for name, t in thresholds.items():
+        out = out.withColumn(name, _fraction_fold(entries, t))
+    return out

@@ -397,7 +397,9 @@ def query_range_quantile(spark: SparkSession, store, metric: str,
                          t1: str | None = None, kind: str | None = None,
                          series_key: str | None = None,
                          tier: str | None = None,
-                         tiers=("1m", "1h", "1d")) -> DataFrame:
+                         tiers=("1m", "1h", "1d"),
+                         fractions: dict[str, float] | None = None
+                         ) -> DataFrame:
     """Approximate quantiles per step bucket, served from a PERSISTED
     histogram tier (TieredStore.write_hist_tier of
     histogram.rollup_histogram output) — the query_range verb for the
@@ -409,8 +411,12 @@ def query_range_quantile(spark: SparkSession, store, metric: str,
     row-group stats, identical to the aggregate path; quantile
     evaluation is a pure expression fold — no Python anywhere.
     Returns (kind, series_key, metric, bucket_ts, cnt, <one column per
-    requested quantile>); ``qs`` defaults to p50/p90/p99."""
-    from .histogram import histogram_over_step, with_quantiles
+    requested quantile>); ``qs`` defaults to p50/p90/p99.
+    ``fractions`` ({name: threshold}) appends estimated
+    P(value <= threshold) columns — the SLO / histogram_fraction verb
+    over the same tier."""
+    from .histogram import (histogram_over_step, with_fractions,
+                            with_quantiles)
 
     step_us = parse_step(step)
     if tier is None:
@@ -445,9 +451,11 @@ def query_range_quantile(spark: SparkSession, store, metric: str,
         qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
     merged = histogram_over_step(df.drop("bucket_date"),
                                  step_us // 1_000_000)
-    out = with_quantiles(merged, qs) \
-        .select("kind", "series_key", "metric", "bucket_ts", "cnt",
-                *qs.keys())
+    out = with_quantiles(merged, qs)
+    if fractions:
+        out = with_fractions(out, fractions)
+    out = out.select("kind", "series_key", "metric", "bucket_ts", "cnt",
+                     *qs.keys(), *(fractions or {}).keys())
     if t1 is not None:
         out = out.filter(F.col("bucket_ts") < _utc_instant(t1))
     return out

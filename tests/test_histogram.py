@@ -340,3 +340,61 @@ def test_compact_job_cascade_hist(spark, t_small_df, tmp_path, capsys):
     left = sorted(d.name.split("=", 1)[1]
                   for d in s.hist_dir("1d").glob("bucket_date=*"))
     assert left == dates  # expired-fine date still served at 1d
+
+
+def test_fractions_match_exact_within_boundary_mass(spark, pts,
+                                                    pts_pdf):
+    """with_fractions: estimated P(v <= t) per (series, 1h bucket)
+    equals the exact fraction up to the mass whose true values sit in
+    the threshold's alpha error band (the only bins the estimate can
+    misclassify) — plus exact cases: t=0 counts negatives+zeros, a
+    t below every value gives 0, above every value gives 1."""
+    ths = {"le_50": 50.0, "le_0": 0.0, "le_lo": -1e12, "le_hi": 1e12}
+    est = H.with_fractions(H.rollup_histogram(pts, "1h"), ths).toPandas()
+    raw = pts_pdf.copy()
+    raw["bucket_ts"] = raw["ts"].dt.floor("h")
+    a = 0.01
+    for _, row in est.iterrows():
+        b = row["bucket_ts"]
+        if b.tz is None:
+            b = b.tz_localize("UTC")
+        sub = raw[(raw["series_key"] == row["series_key"])
+                  & (raw["bucket_ts"] == b)]["v"].to_numpy()
+        assert row["le_lo"] == 0.0
+        assert row["le_hi"] == 1.0
+        assert row["le_0"] == float((sub <= 0).mean())
+        exact = float((sub <= 50.0).mean())
+        band = float(((sub >= 50.0 / (1 + 3 * a))
+                      & (sub <= 50.0 * (1 + 3 * a))).mean())
+        assert abs(row["le_50"] - exact) <= band + 1e-12, \
+            (exact, row["le_50"], band)
+
+
+def test_query_range_quantile_fractions(spark, t_small_df, tmp_path,
+                                        capsys):
+    """query_range_quantile(fractions=...) serves SLO fractions from
+    the persisted tier; the CLI --le flag surfaces them."""
+    import sys
+
+    from mimir_spark.read_path import query_range_quantile
+
+    points = turn_metrics(ingest(t_small_df)) \
+        .filter(F.col("kind") == "tool")
+    s = TieredStore(tmp_path / "store")
+    s.write_hist_tier(H.rollup_histogram(points, "1h"), "1h")
+    got = query_range_quantile(spark, s, "token_volume", step="2h",
+                               kind="tool",
+                               fractions={"le_100": 100.0}).toPandas()
+    assert "le_100" in got.columns
+    assert ((got["le_100"] >= 0) & (got["le_100"] <= 1)).all()
+    assert got["le_100"].nunique() > 1  # non-degenerate
+
+    sys.path.insert(0, "jobs")
+    try:
+        import query_job
+    finally:
+        sys.path.pop(0)
+    assert query_job.main(["--store", str(s.root), "quantile",
+                           "--metric", "token_volume", "--step", "2h",
+                           "--q", "0.9", "--le", "100"]) == 0
+    assert "le_100" in capsys.readouterr().out
