@@ -124,20 +124,35 @@ def rollup_histogram(points: DataFrame, tier: str, value_col: str = "v",
 def _explode_bins(hist_df: DataFrame) -> DataFrame:
     """Histogram rows back to (series, bucket_ts, sgn, idx, c) bin rows
     — the merge-side inverse of _collect_bins. Row count is the number
-    of OCCUPIED bins, never the point count."""
-    base = hist_df.select(*_SERIES_COLS, "bucket_ts", "alpha",
-                          "zero_cnt", "neg_bins", "pos_bins")
-    pos = base.select(*_SERIES_COLS, "bucket_ts", "alpha",
-                      F.lit(1).alias("sgn"),
-                      F.explode("pos_bins").alias("idx", "c"))
-    neg = base.select(*_SERIES_COLS, "bucket_ts", "alpha",
-                      F.lit(-1).alias("sgn"),
-                      F.explode("neg_bins").alias("idx", "c"))
-    zero = (base.filter(F.col("zero_cnt") > 0)
-            .select(*_SERIES_COLS, "bucket_ts", "alpha",
-                    F.lit(0).alias("sgn"), F.lit(0).alias("idx"),
-                    F.col("zero_cnt").alias("c")))
-    return pos.unionByName(neg).unionByName(zero)
+    of OCCUPIED bins, never the point count.
+
+    ONE scan, one explode: the three stores concatenate into a single
+    entry array per row before exploding. A per-store union would read
+    the (pruned slice of the) tier three times — measured as 3
+    FileScans in the serving plan before this shape; the cascade path
+    reads the whole fine tier, where 3x matters at 100 TB."""
+    def _store(col, sgn):
+        return F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(F.lit(sgn).alias("sgn"),
+                               e["key"].alias("idx"),
+                               e["value"].alias("c")))
+
+    zero = F.when(
+        F.col("zero_cnt") > 0,
+        F.array(F.struct(F.lit(0).alias("sgn"), F.lit(0).alias("idx"),
+                         F.col("zero_cnt").alias("c")))
+    ).otherwise(F.expr("array()")
+                .cast("array<struct<sgn:int,idx:int,c:bigint>>"))
+    entries = F.concat(_store("neg_bins", -1), zero,
+                       _store("pos_bins", 1))
+    return (
+        hist_df.select(*_SERIES_COLS, "bucket_ts", "alpha",
+                       F.explode(entries).alias("e"))
+        .select(*_SERIES_COLS, "bucket_ts", "alpha",
+                F.col("e.sgn").alias("sgn"), F.col("e.idx").alias("idx"),
+                F.col("e.c").alias("c"))
+    )
 
 
 def _merge_bins(hist_df: DataFrame, bucket, tier_lit) -> DataFrame:
