@@ -169,3 +169,41 @@ def detect_anomalies(points: DataFrame, threshold: float = 3.0,
     return (with_zscore(points, value_col, n, min_periods, time_col,
                         series_cols)
             .filter(F.abs(F.col("zscore")) >= threshold))
+
+
+def with_seasonal_zscore(points: DataFrame, period_seconds: int,
+                         value_col: str = "v", n: int = 4,
+                         min_periods: int = 3, time_col: str = "ts",
+                         series_cols: tuple[str, ...] = SERIES_COLS
+                         ) -> DataFrame:
+    """Seasonal rolling z-score: each sample is compared against the
+    trailing ``n`` samples at the SAME PHASE of a ``period_seconds``
+    cycle (e.g. period=86400: today 14:00 vs the previous n days'
+    14:00) — the baseline shape real monitoring needs for diurnal /
+    weekly patterns, where a plain trailing window flags every morning
+    ramp-up as an anomaly.
+
+    Spark-first: phase = epoch mod period becomes an extra PARTITION
+    key, so "previous occurrences of this phase" is an ordinary
+    trailing window — one shuffle on (series, phase), no self-join,
+    no Python. Works on raw points (ties within a phase order by
+    time) and on served step buckets (pass time_col='bucket_ts',
+    value_col='value'; the step must divide the period or phases
+    interleave). Same NULL contract as with_zscore: NULL until
+    min_periods prior same-phase samples exist or while the baseline
+    has zero variance."""
+    if period_seconds < 1:
+        raise ValueError("period_seconds must be >= 1")
+    if n < 1 or min_periods < 2:
+        raise ValueError("need n >= 1 and min_periods >= 2")
+    phase = (F.unix_micros(F.col(time_col).cast("timestamp"))
+             % F.lit(period_seconds * 1_000_000)).alias("_phase")
+    w = (Window.partitionBy(*series_cols, "_phase").orderBy(time_col)
+         .rowsBetween(-n, -1))
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    cnt = F.count(v).over(w)
+    z = F.when((cnt >= min_periods) & (sd > 0), (v - mean) / sd)
+    return (points.withColumn("_phase", phase)
+            .withColumn("seasonal_zscore", z).drop("_phase"))

@@ -398,3 +398,49 @@ def test_query_range_quantile_fractions(spark, t_small_df, tmp_path,
                            "--metric", "token_volume", "--step", "2h",
                            "--q", "0.9", "--le", "100"]) == 0
     assert "le_100" in capsys.readouterr().out
+
+
+@pytest.mark.parametrize("case", [
+    "single", "constant", "two_far", "wide_range", "all_negative",
+    "seeded_0", "seeded_1", "seeded_2",
+])
+def test_quantile_fuzz_adversarial_shapes(spark, case):
+    """Seeded sweep over adversarial value distributions — single
+    point, zero variance, extreme dynamic range (1e-9..1e12), all
+    negative, random heavy-tail mixes — every quantile estimate stays
+    within alpha relative error of numpy's order statistic."""
+    rng = np.random.default_rng(abs(hash(case)) % 2**32)
+    if case == "single":
+        v = np.array([42.75])
+    elif case == "constant":
+        v = np.full(500, 7.125)
+    elif case == "two_far":
+        v = np.array([1e-6] * 300 + [1e9] * 200)
+    elif case == "wide_range":
+        v = 10.0 ** rng.uniform(-9, 12, 2000)
+    elif case == "all_negative":
+        v = -np.round(rng.lognormal(2, 2, 800), 6)
+    else:
+        v = np.concatenate([
+            np.round(rng.lognormal(rng.uniform(0, 5), rng.uniform(0.5, 3),
+                                   700), 6),
+            -np.round(rng.lognormal(1, 1, 200), 6),
+            np.zeros(100)])
+        rng.shuffle(v)
+    pdf = pd.DataFrame({
+        "kind": "tool", "series_key": "s", "metric": "m",
+        "ts": pd.Timestamp("2026-01-01", tz="UTC"), "v": v,
+    })
+    qs = {f"q{i}": q for i, q in
+          enumerate([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])}
+    row = H.with_quantiles(
+        H.rollup_histogram(spark.createDataFrame(pdf), "1d"), qs).first()
+    assert row["cnt"] == len(v)
+    for name, q in qs.items():
+        exact = float(np.percentile(v, q * 100, method="lower"))
+        got = row[name]
+        if exact == 0.0:
+            assert got == 0.0, (case, name)
+        else:
+            rel = abs(got - exact) / abs(exact)
+            assert rel <= 0.0101, (case, name, exact, got, rel)

@@ -221,3 +221,54 @@ def test_query_job_topk_and_anomaly_verbs(store, capsys):
                            "--kind", "tool", "--threshold", "4.0"]) == 0
     out = capsys.readouterr().out
     assert "zscore" in out
+
+
+def test_seasonal_zscore_vs_pandas_and_diurnal_case(spark):
+    """Phase-partitioned baseline == pandas same-phase rolling oracle;
+    and the motivating case: a strong diurnal pattern is NOT anomalous
+    under the seasonal baseline (every sample matches its phase
+    history) while a same-level spike at the WRONG phase is."""
+    from mimir_spark.functions.timeseries import with_seasonal_zscore
+
+    # 10 days of hourly samples with a strong daily cycle
+    hours = np.arange(240)
+    v = 100.0 + 80.0 * np.sin(2 * np.pi * (hours % 24) / 24.0) \
+        + np.round(np.random.default_rng(5).normal(0, 1, 240), 3)
+    pdf = pd.DataFrame({
+        "kind": "tool", "series_key": "bash", "metric": "tokens",
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(hours, unit="h"),
+        "v": v,
+    })
+    pdf.loc[9 * 24 + 3, "v"] += 400.0  # spike at 03:00 on day 10
+
+    got = (with_seasonal_zscore(spark.createDataFrame(pdf), 86400,
+                                n=5, min_periods=3)
+           .toPandas().sort_values("ts").reset_index(drop=True))
+
+    # pandas oracle: same phase = same hour-of-day
+    pdf = pdf.sort_values("ts").reset_index(drop=True)
+    pdf["phase"] = pdf["ts"].dt.hour
+
+    def per_phase(g):
+        prev = g["v"].shift(1)
+        mean = prev.rolling(5, min_periods=3).mean()
+        sd = prev.rolling(5, min_periods=3).std()
+        return ((g["v"] - mean) / sd).where(sd > 0)
+
+    want = (pdf.groupby("phase", group_keys=False)
+            .apply(per_phase, include_groups=False)).sort_index()
+    gz = got["seasonal_zscore"].to_numpy(dtype=float)
+    wz = want.to_numpy(dtype=float)
+    m = ~np.isnan(wz)
+    assert np.isnan(wz).sum() == got["seasonal_zscore"].isna().sum()
+    assert np.allclose(gz[m], wz[m], rtol=1e-9)
+
+    # the diurnal ramp itself is quiet; the off-phase spike screams.
+    # threshold 50: a ~unit-variance same-phase baseline cannot reach
+    # it by chance, while the +400 spike lands in the hundreds
+    flagged = got[np.abs(gz) >= 50.0]
+    assert list(flagged["ts"]) == [pdf.loc[9 * 24 + 3, "ts"]]
+
+    with pytest.raises(ValueError):
+        with_seasonal_zscore(spark.createDataFrame(pdf.drop(columns="phase")), 0)
