@@ -114,6 +114,11 @@ def main(argv=None) -> int:
     anom.add_argument("--threshold", type=float, default=3.0)
     anom.add_argument("--window", type=int, default=20,
                       help="trailing buckets in the baseline")
+    anom.add_argument("--period", default=None,
+                      help="seasonal baseline: compare each bucket to "
+                           "the previous --window occurrences of the "
+                           "SAME phase of this period (e.g. 1d for "
+                           "hour-of-day), not plain trailing buckets")
 
     for p in (rng, rate, pts, lttb, dst, gaps, qtl, topk, anom):
         p.add_argument("--kind", default=None)
@@ -188,15 +193,29 @@ def main(argv=None) -> int:
                                kind=args.kind, bottom=args.bottom,
                                tier=args.tier)
     elif args.mode == "anomalies":
-        from mimir_spark.functions.timeseries import detect_anomalies
-
         served = query_range(spark, store, args.metric, agg=args.agg,
                              step=args.step, t0=args.t0, t1=args.t1,
                              kind=args.kind, series_key=args.series_key,
                              tier=args.tier)
-        df = detect_anomalies(served, threshold=args.threshold,
-                              value_col="value", n=args.window,
-                              time_col="bucket_ts")
+        if args.period:
+            from mimir_spark.functions.timeseries import \
+                with_seasonal_zscore
+            from mimir_spark.read_path import parse_step
+
+            from pyspark.sql import functions as F
+
+            df = with_seasonal_zscore(
+                served, parse_step(args.period) // 1_000_000,
+                value_col="value", n=args.window,
+                time_col="bucket_ts") \
+                .filter(F.abs(F.col("seasonal_zscore"))
+                        >= args.threshold)
+        else:
+            from mimir_spark.functions.timeseries import detect_anomalies
+
+            df = detect_anomalies(served, threshold=args.threshold,
+                                  value_col="value", n=args.window,
+                                  time_col="bucket_ts")
     else:
         df = series_points(spark, store, args.tier, kind=args.kind,
                            series_key=args.series_key, metric=args.metric,

@@ -272,3 +272,18 @@ def test_seasonal_zscore_vs_pandas_and_diurnal_case(spark):
 
     with pytest.raises(ValueError):
         with_seasonal_zscore(spark.createDataFrame(pdf.drop(columns="phase")), 0)
+
+
+def test_query_job_seasonal_anomaly_flag(store, capsys):
+    import sys
+
+    sys.path.insert(0, "jobs")
+    try:
+        import query_job
+    finally:
+        sys.path.pop(0)
+    assert query_job.main(["--store", str(store.root), "anomalies",
+                           "--metric", "token_volume", "--step", "1h",
+                           "--kind", "tool", "--period", "1d",
+                           "--window", "5", "--threshold", "3"]) == 0
+    assert "seasonal_zscore" in capsys.readouterr().out
