@@ -160,10 +160,12 @@ def main(argv=None) -> int:
         return 0
     partitions = 8 if args.partitions is None else args.partitions
 
+    aux_requested = bool(by_col or hist_tiers)
     rows = run_rollup_job(
         spark, source, store, args.job_id,
         num_partitions=partitions,
         tiers=tuple(args.tiers.split(",")),
+        keep_staging=aux_requested,
     )
     for r in rows:
         print(f"partition={r['partition_id']} rows_in={r['rows_in']} "
@@ -171,18 +173,42 @@ def main(argv=None) -> int:
     print(f"done: {len(rows)} partitions this run "
           f"({partitions} total, rest were already committed)")
 
+    # aux-tier input: when THIS invocation staged every shard, the
+    # job's narrow deduped turns are still on disk (keep_staging) and
+    # turn_metrics reads them directly (n_tok precomputed) — ZERO
+    # extra source scans for sketches/histograms, the shape that
+    # matters when the source is 100 TB and the staging is ~6% of it.
+    # A resumed run staged only the pending subset (and a fully-
+    # committed one staged nothing), so those fall back to one source
+    # re-scan.
+    import pathlib
+
+    from mimir_spark.ingest import ingest, turn_metrics
+
+    stage_dir = store.turns_staging_dir(args.job_id) \
+        if hasattr(store, "turns_staging_dir") else None
+    staged_complete = (
+        aux_requested and stage_dir is not None
+        and len(rows) == partitions
+        and any(pathlib.Path(stage_dir).glob("*.parquet")))
+
+    def aux_points():
+        if staged_complete:
+            print("aux tiers: reusing staged narrow turns "
+                  "(no source re-scan)")
+            return turn_metrics(spark.read.parquet(stage_dir))
+        return turn_metrics(ingest(source()))
+
     if args.distinct_sketch:
         # post-job step (atomic per tier via write_sketch_tier's tmp
-        # swap, idempotent on re-run): ONE extra scan of the source
-        # per distinct column — only the FINEST requested tier
-        # aggregates the raw points; every coarser tier cascades from
+        # swap, idempotent on re-run): only the FINEST requested tier
+        # aggregates the points; every coarser tier cascades from
         # the persisted finer sketch tier by HLL union (exact over
         # sketch state), reading O(series x buckets) sketch rows
         # instead of the corpus
-        from mimir_spark.ingest import ingest, turn_metrics
         from mimir_spark.rollup import TIER_US, rollup_distinct_sketch
 
-        points = turn_metrics(ingest(source()))
+        points = aux_points()
         for col, tiers in by_col.items():
             tiers.sort(key=lambda t: TIER_US[t])
             finest = tiers[0]
@@ -196,15 +222,14 @@ def main(argv=None) -> int:
                       f"cascaded from {prev}: {n} rows")
 
     if hist_tiers:
-        # same post-job shape as --distinct-sketch: ONE extra source
-        # scan builds the finest requested histogram tier; coarser
+        # same post-job shape as --distinct-sketch: the finest
+        # requested histogram tier aggregates the points once; coarser
         # tiers cascade from it by bin addition (exact over the
         # sketch state), reading O(series x buckets x bins) rows
         from mimir_spark.histogram import DEFAULT_ALPHA, rollup_histogram
-        from mimir_spark.ingest import ingest, turn_metrics
 
         alpha = DEFAULT_ALPHA if args.hist_alpha is None else args.hist_alpha
-        points = turn_metrics(ingest(source()))
+        points = aux_points()
         finest = hist_tiers[0]
         store.write_hist_tier(
             rollup_histogram(points, finest, alpha=alpha), finest)
@@ -212,6 +237,8 @@ def main(argv=None) -> int:
         for prev, tier in zip(hist_tiers, hist_tiers[1:]):
             n = store.compact_hist_tier(spark, prev, tier)
             print(f"histogram tier {tier} cascaded from {prev}: {n} rows")
+    if aux_requested and stage_dir is not None:
+        store.cleanup_staging(stage_dir)
     return 0
 
 

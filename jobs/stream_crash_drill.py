@@ -90,7 +90,8 @@ def _run_stream(src: str, store: str, tier: str, kill_after: float | None,
     cmd = [sys.executable, str(REPO / "jobs" / "stream_job.py"),
            "--source", src, "--store", store, "--tier", tier, "--once",
            "--partitions", "8", "--max-files-per-trigger", "4",
-           "--distinct-sketch", "conv_id", "--cpus", str(cpus)]
+           "--distinct-sketch", "conv_id", "--histogram",
+           "--cpus", str(cpus)]
     p = subprocess.Popen(cmd, stdout=subprocess.DEVNULL,
                          stderr=subprocess.DEVNULL, start_new_session=True)
     if kill_after is None:
@@ -174,6 +175,25 @@ def main(argv=None) -> int:
     sk_a, sk_b = sketch_sig(a_dir), sketch_sig(b_dir)
     result["sketch_tier"] = {"a": sk_a, "b": sk_b, "equal": sk_a == sk_b}
     ok &= sk_a == sk_b
+
+    def hist_sig(root):
+        d = pathlib.Path(root) / f"hist={args.tier}"
+        if not d.exists():
+            return ["missing"]
+        df = spark.read.parquet(str(d))
+        # full sketch-state signature: cnt/zero sums + an order-
+        # insensitive hash over every (bin, count) entry of both maps
+        ent_hash = F.xxhash64(
+            "kind", "series_key", "metric", "bucket_ts",
+            F.map_entries("neg_bins").cast("string"),
+            F.map_entries("pos_bins").cast("string"))
+        r = df.agg(F.count("*"), F.sum("cnt"), F.sum("zero_cnt"),
+                   F.sum(ent_hash.cast("decimal(38,0)"))).first()
+        return [str(x) for x in r]
+
+    h_a, h_b = hist_sig(a_dir), hist_sig(b_dir)
+    result["hist_tier"] = {"a": h_a, "b": h_b, "equal": h_a == h_b}
+    ok &= h_a == h_b
 
     result["ok"] = bool(ok)
     print(json.dumps(result), flush=True)

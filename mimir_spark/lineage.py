@@ -557,6 +557,7 @@ def run_rollup_job(
     num_partitions: int = 8,
     tiers: tuple[str, ...] = ("1m", "1h", "1d"),
     max_partitions: int | None = None,
+    keep_staging: bool = False,
 ) -> list[dict]:
     """Roll up all pending shards (pmod(xxhash64(conv_id), P)) in ONE
     source scan, then commit tier output + a lineage row per shard.
@@ -577,6 +578,13 @@ def run_rollup_job(
 
     ``max_partitions`` bounds shards per invocation (used by tests to
     simulate a crash mid-job); re-invoking resumes from lineage.
+
+    ``keep_staging`` leaves the staged narrow turns in place after the
+    commit so a caller can derive auxiliary tiers (distinct sketches,
+    quantile histograms) from them WITHOUT re-scanning the source —
+    valid only when this invocation staged every shard (a resumed run
+    stages only the pending subset); the caller owns the eventual
+    cleanup_staging call.
     """
     done = store.committed_partitions(spark, job_id)
     pending = [p for p in range(num_partitions) if p not in done]
@@ -621,7 +629,8 @@ def run_rollup_job(
         # (shrunken) pending set anyway, so the staged turns are never
         # reusable state — only a hard kill can leak them, and the next
         # run's overwrite reclaims that
-        store.cleanup_staging(stage_dir)
+        if not keep_staging:
+            store.cleanup_staging(stage_dir)
     return rows
 
 

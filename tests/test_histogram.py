@@ -265,13 +265,41 @@ def test_rollup_job_histogram_flag(spark, t_small_df, tmp_path, capsys):
                             "--histogram", "1d,1h"]) == 0
     out = capsys.readouterr().out
     assert "histogram tier 1h" in out and "histogram tier 1d" in out
+    # a fresh full run derives aux tiers from the job's OWN staged
+    # narrow turns — no source re-scan — and the staging is cleaned
+    # up afterwards
+    assert "reusing staged narrow turns" in out
+    assert not any((TieredStore(store_dir).root / "_staging").glob("*")) \
+        or not (TieredStore(store_dir).root / "_staging").exists()
 
     s = TieredStore(store_dir)
+    # staged-turns input == a from-source computation, row for row
+    want_1h = H.rollup_histogram(
+        turn_metrics(ingest(spark.read.parquet(src))), "1h")
+    assert _sorted_rows(
+        s.read_hist_tier(spark, "1h").drop("bucket_date")
+        .select(*H._OUT_COLS)) == _sorted_rows(want_1h)
     direct = H.cascade_histogram(
         s.read_hist_tier(spark, "1h").drop("bucket_date"), "1d")
     stored = s.read_hist_tier(spark, "1d").drop("bucket_date")
     assert _sorted_rows(stored.select(*H._OUT_COLS)) == \
         _sorted_rows(direct)
+
+    # an already-committed job (nothing pending -> nothing staged)
+    # falls back to one source scan and still writes correct tiers
+    store2 = str(tmp_path / "store2")
+    assert rollup_job.main(["--input", src, "--output", store2,
+                            "--job-id", "hj2", "--partitions", "2"]) == 0
+    capsys.readouterr()
+    assert rollup_job.main(["--input", src, "--output", store2,
+                            "--job-id", "hj2", "--partitions", "2",
+                            "--histogram", "1h"]) == 0
+    out2 = capsys.readouterr().out
+    assert "reusing staged narrow turns" not in out2
+    assert _sorted_rows(
+        TieredStore(store2).read_hist_tier(spark, "1h")
+        .drop("bucket_date").select(*H._OUT_COLS)) == \
+        _sorted_rows(want_1h)
 
     assert query_job.main(["--store", store_dir, "quantile",
                            "--metric", "turn_rate", "--step", "2h",
