@@ -103,6 +103,10 @@ def main(argv=None) -> int:
         hist_tiers.sort(key=lambda t: _TU[t])
     if args.hist_alpha is not None and not hist_tiers:
         ap.error("--hist-alpha without --histogram")
+    if args.hist_alpha is not None and not 0.0 < args.hist_alpha < 1.0:
+        # fail BEFORE the potentially hours-long rollup, like the
+        # sketch-spec validation above — not in the post-job step
+        ap.error(f"--hist-alpha must be in (0, 1), got {args.hist_alpha}")
 
     from mimir_spark.lineage import run_rollup_job, tiered_store
     from mimir_spark.session import get_spark
@@ -192,53 +196,68 @@ def main(argv=None) -> int:
         and len(rows) == partitions
         and any(pathlib.Path(stage_dir).glob("*.parquet")))
 
-    def aux_points():
+    points = None
+    if aux_requested:
         if staged_complete:
             print("aux tiers: reusing staged narrow turns "
                   "(no source re-scan)")
-            return turn_metrics(spark.read.parquet(stage_dir))
-        return turn_metrics(ingest(source()))
+            points = turn_metrics(spark.read.parquet(stage_dir))
+        else:
+            # ONE fallback source scan shared by every aux family:
+            # persisted so the second write action (e.g. --histogram
+            # after --distinct-sketch) re-reads the cached points, not
+            # the (100 TB) source
+            points = turn_metrics(ingest(source())).persist()
 
-    if args.distinct_sketch:
-        # post-job step (atomic per tier via write_sketch_tier's tmp
-        # swap, idempotent on re-run): only the FINEST requested tier
-        # aggregates the points; every coarser tier cascades from
-        # the persisted finer sketch tier by HLL union (exact over
-        # sketch state), reading O(series x buckets) sketch rows
-        # instead of the corpus
-        from mimir_spark.rollup import TIER_US, rollup_distinct_sketch
+    try:
+        if args.distinct_sketch:
+            # post-job step (atomic per tier via write_sketch_tier's
+            # tmp swap, idempotent on re-run): only the FINEST
+            # requested tier aggregates the points; every coarser tier
+            # cascades from the persisted finer sketch tier by HLL
+            # union (exact over sketch state), reading
+            # O(series x buckets) sketch rows instead of the corpus
+            from mimir_spark.rollup import TIER_US, rollup_distinct_sketch
 
-        points = aux_points()
-        for col, tiers in by_col.items():
-            tiers.sort(key=lambda t: TIER_US[t])
-            finest = tiers[0]
-            store.write_sketch_tier(
-                rollup_distinct_sketch(points, finest, distinct_col=col),
-                finest)
-            print(f"sketch tier {finest} (distinct {col}) written")
-            for prev, tier in zip(tiers, tiers[1:]):
-                n = store.compact_sketch_tier(spark, prev, tier)
-                print(f"sketch tier {tier} (distinct {col}) "
-                      f"cascaded from {prev}: {n} rows")
+            for col, tiers in by_col.items():
+                tiers.sort(key=lambda t: TIER_US[t])
+                finest = tiers[0]
+                store.write_sketch_tier(
+                    rollup_distinct_sketch(points, finest,
+                                           distinct_col=col),
+                    finest)
+                print(f"sketch tier {finest} (distinct {col}) written")
+                for prev, tier in zip(tiers, tiers[1:]):
+                    n = store.compact_sketch_tier(spark, prev, tier)
+                    print(f"sketch tier {tier} (distinct {col}) "
+                          f"cascaded from {prev}: {n} rows")
 
-    if hist_tiers:
-        # same post-job shape as --distinct-sketch: the finest
-        # requested histogram tier aggregates the points once; coarser
-        # tiers cascade from it by bin addition (exact over the
-        # sketch state), reading O(series x buckets x bins) rows
-        from mimir_spark.histogram import DEFAULT_ALPHA, rollup_histogram
+        if hist_tiers:
+            # same post-job shape as --distinct-sketch: the finest
+            # requested histogram tier aggregates the points once;
+            # coarser tiers cascade from it by bin addition (exact
+            # over the sketch state), reading
+            # O(series x buckets x bins) rows
+            from mimir_spark.histogram import (DEFAULT_ALPHA,
+                                               rollup_histogram)
 
-        alpha = DEFAULT_ALPHA if args.hist_alpha is None else args.hist_alpha
-        points = aux_points()
-        finest = hist_tiers[0]
-        store.write_hist_tier(
-            rollup_histogram(points, finest, alpha=alpha), finest)
-        print(f"histogram tier {finest} (alpha={alpha}) written")
-        for prev, tier in zip(hist_tiers, hist_tiers[1:]):
-            n = store.compact_hist_tier(spark, prev, tier)
-            print(f"histogram tier {tier} cascaded from {prev}: {n} rows")
-    if aux_requested and stage_dir is not None:
-        store.cleanup_staging(stage_dir)
+            alpha = (DEFAULT_ALPHA if args.hist_alpha is None
+                     else args.hist_alpha)
+            finest = hist_tiers[0]
+            store.write_hist_tier(
+                rollup_histogram(points, finest, alpha=alpha), finest)
+            print(f"histogram tier {finest} (alpha={alpha}) written")
+            for prev, tier in zip(hist_tiers, hist_tiers[1:]):
+                n = store.compact_hist_tier(spark, prev, tier)
+                print(f"histogram tier {tier} cascaded from {prev}: "
+                      f"{n} rows")
+    finally:
+        # the staged turns must not outlive the aux step even when a
+        # write fails mid-way — at scale they are ~6% of the source
+        if aux_requested and stage_dir is not None:
+            store.cleanup_staging(stage_dir)
+        if points is not None and not staged_complete:
+            points.unpersist()
     return 0
 
 

@@ -99,12 +99,18 @@ def series_binop(df: DataFrame, left_metric: str, right_metric: str,
 
     Matching is inner (PromQL's default): buckets where either side is
     absent emit nothing. Division by zero yields NULL, never an error
-    (guarded for ANSI mode) and never +-Inf."""
+    (guarded for ANSI mode) and never +-Inf.
+
+    Duplicate rows per (series, time, metric) — raw points sharing a
+    timestamp, a tier a streaming sink appended to — SUM into the
+    slot before the op (max/any-value would silently drop all but one
+    row's contribution); on the unique-keyed rollup/query_range
+    frames the sum IS the single value."""
     if op not in _BINOPS:
         raise ValueError(f"unknown op {op!r} (one of {_BINOPS})")
-    lv = F.max(F.when(F.col("metric") == left_metric,
+    lv = F.sum(F.when(F.col("metric") == left_metric,
                       F.col(value_col))).alias("_lv")
-    rv = F.max(F.when(F.col("metric") == right_metric,
+    rv = F.sum(F.when(F.col("metric") == right_metric,
                       F.col(value_col))).alias("_rv")
     grouped = (
         df.filter(F.col("metric").isin([left_metric, right_metric]))
@@ -134,8 +140,27 @@ def series_binop(df: DataFrame, left_metric: str, right_metric: str,
 # ---------------------------------------------------------------------------
 
 
+def _resolve_min_periods(n: int, min_periods: int | None) -> int:
+    """Default min_periods adapts to the window (min(5, n), floor 2);
+    an explicit min_periods > n is a contradiction — the trailing
+    window can never satisfy it, so EVERY z-score would be NULL and an
+    anomaly report silently empty — and is rejected loudly."""
+    if n < 1:
+        raise ValueError("need n >= 1")
+    if min_periods is None:
+        return max(2, min(5, n))
+    if min_periods < 2:
+        raise ValueError("need min_periods >= 2")
+    if min_periods > n:
+        raise ValueError(
+            f"min_periods={min_periods} can never be reached by a "
+            f"trailing window of n={n} samples — every z-score would "
+            f"be NULL")
+    return min_periods
+
+
 def with_zscore(points: DataFrame, value_col: str = "v", n: int = 20,
-                min_periods: int = 5, time_col: str = "ts",
+                min_periods: int | None = None, time_col: str = "ts",
                 series_cols: tuple[str, ...] = SERIES_COLS) -> DataFrame:
     """Rolling z-score per series: (v - mean) / stddev over the
     TRAILING n samples EXCLUDING the current one — a spike must not
@@ -145,9 +170,9 @@ def with_zscore(points: DataFrame, value_col: str = "v", n: int = 20,
     instead of +-inf keeps downstream filters sane).
 
     One window (one shuffle on the series key), pure expressions —
-    the same scale shape as with_rate."""
-    if n < 1 or min_periods < 2:
-        raise ValueError("need n >= 1 and min_periods >= 2")
+    the same scale shape as with_rate. ``min_periods`` defaults to
+    min(5, n) so a small window still yields scores."""
+    min_periods = _resolve_min_periods(n, min_periods)
     w = (Window.partitionBy(*series_cols).orderBy(time_col)
          .rowsBetween(-n, -1))
     v = F.col(value_col).cast("double")
@@ -160,7 +185,7 @@ def with_zscore(points: DataFrame, value_col: str = "v", n: int = 20,
 
 def detect_anomalies(points: DataFrame, threshold: float = 3.0,
                      value_col: str = "v", n: int = 20,
-                     min_periods: int = 5, time_col: str = "ts",
+                     min_periods: int | None = None, time_col: str = "ts",
                      series_cols: tuple[str, ...] = SERIES_COLS
                      ) -> DataFrame:
     """Rows whose |rolling z-score| >= threshold — the alerting verb
@@ -173,7 +198,8 @@ def detect_anomalies(points: DataFrame, threshold: float = 3.0,
 
 def with_seasonal_zscore(points: DataFrame, period_seconds: int,
                          value_col: str = "v", n: int = 4,
-                         min_periods: int = 3, time_col: str = "ts",
+                         min_periods: int | None = None,
+                         time_col: str = "ts",
                          series_cols: tuple[str, ...] = SERIES_COLS
                          ) -> DataFrame:
     """Seasonal rolling z-score: each sample is compared against the
@@ -191,11 +217,10 @@ def with_seasonal_zscore(points: DataFrame, period_seconds: int,
     value_col='value'; the step must divide the period or phases
     interleave). Same NULL contract as with_zscore: NULL until
     min_periods prior same-phase samples exist or while the baseline
-    has zero variance."""
+    has zero variance. ``min_periods`` defaults to min(5, n)."""
     if period_seconds < 1:
         raise ValueError("period_seconds must be >= 1")
-    if n < 1 or min_periods < 2:
-        raise ValueError("need n >= 1 and min_periods >= 2")
+    min_periods = _resolve_min_periods(n, min_periods)
     phase = (F.unix_micros(F.col(time_col).cast("timestamp"))
              % F.lit(period_seconds * 1_000_000)).alias("_phase")
     w = (Window.partitionBy(*series_cols, "_phase").orderBy(time_col)

@@ -73,27 +73,6 @@ def _bin_index(v, gamma: float):
     return F.ceil(F.log(F.abs(v)) / F.lit(math.log(gamma))).cast("int")
 
 
-def _collect_bins(per_bin: DataFrame, tier_lit, alpha: float) -> DataFrame:
-    """Second aggregate: (series, bucket_ts, sgn, idx, c) bin rows ->
-    one histogram row per (series, bucket_ts). collect_list skips the
-    NULLs the sign filters produce, and (sgn, idx) is unique within
-    the group, so map_from_entries sees unique keys."""
-    entry = F.struct(F.col("idx").alias("key"), F.col("c").alias("value"))
-    return (
-        per_bin.groupBy(*_SERIES_COLS, "bucket_ts")
-        .agg(F.sum("c").alias("cnt"),
-             F.coalesce(F.sum(F.when(F.col("sgn") == 0, F.col("c"))),
-                        F.lit(0).cast("long")).alias("zero_cnt"),
-             F.map_from_entries(F.array_sort(F.collect_list(
-                 F.when(F.col("sgn") == -1, entry)))).alias("neg_bins"),
-             F.map_from_entries(F.array_sort(F.collect_list(
-                 F.when(F.col("sgn") == 1, entry)))).alias("pos_bins"))
-        .withColumn("tier", tier_lit)
-        .withColumn("alpha", F.lit(float(alpha)))
-        .select(*_OUT_COLS)
-    )
-
-
 def rollup_histogram(points: DataFrame, tier: str, value_col: str = "v",
                      alpha: float = DEFAULT_ALPHA) -> DataFrame:
     """Per-(series, bucket) value-distribution histograms at the given
@@ -117,13 +96,14 @@ def rollup_histogram(points: DataFrame, tier: str, value_col: str = "v",
                       idx.alias("idx"))
         .groupBy(*_SERIES_COLS, "bucket_ts", "sgn", "idx")
         .agg(F.count("*").alias("c"))
+        .withColumn("alpha", F.lit(float(alpha)))
     )
-    return _collect_bins(per_bin, F.lit(tier), alpha)
+    return _assemble_bins(per_bin, F.lit(tier))
 
 
 def _explode_bins(hist_df: DataFrame) -> DataFrame:
     """Histogram rows back to (series, bucket_ts, sgn, idx, c) bin rows
-    — the merge-side inverse of _collect_bins. Row count is the number
+    — the inverse of _assemble_bins. Row count is the number
     of OCCUPIED bins, never the point count.
 
     ONE scan, one explode: the three stores concatenate into a single

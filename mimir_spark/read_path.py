@@ -512,7 +512,20 @@ def query_topk_series(spark: SparkSession, store, metric: str, k: int,
         raise ValueError(f"unknown agg {agg!r} (one of {choices})")
     if k < 1:
         raise ValueError("k must be >= 1")
-    tier = tier or _align_tier(t0, t1, tiers)
+    if tier is None:
+        # restrict auto-selection to tiers the store actually holds —
+        # a streaming-built store has only its live tier, a --tiers 1m
+        # batch store only that one (same presence rule as the
+        # distinct/quantile verbs)
+        if hasattr(store, "tier_dir"):
+            present = [t for t in tiers
+                       if any(store.tier_dir(t).glob("p=*"))]
+            if not present:
+                raise ValueError(
+                    f"store has no aggregate tier (looked for "
+                    f"{tuple(tiers)})")
+            tiers = present
+        tier = _align_tier(t0, t1, tiers)
     rows = _pruned_tier(spark, store, tier, kind, None, metric, t0, t1)
     totals = (
         rows.groupBy("kind", "series_key", "metric")

@@ -329,7 +329,7 @@ def hist_store_sink(store, tier: str, app_id: str = "stream"):
     chained aggregations are unsupported in append mode, and a
     per-bucket map assembly in-stream would be a second one); this
     sink assembles them into the tier's map-shaped rows
-    (histogram._collect_bins over THIS batch's rows) and merges with
+    (histogram._assemble_bins over THIS batch's rows) and merges with
     the date partition's existing rows by bin addition
     (histogram._merge_bins) — exact whether a bucket's bins arrive in
     one batch or split across several. Ledger/swap semantics are
