@@ -287,3 +287,18 @@ def test_query_job_seasonal_anomaly_flag(store, capsys):
                            "--kind", "tool", "--period", "1d",
                            "--window", "5", "--threshold", "3"]) == 0
     assert "seasonal_zscore" in capsys.readouterr().out
+
+
+def test_query_topk_series_single_tier_store(spark, t_small_df,
+                                             tmp_path):
+    """A store holding only the 1m tier (the streaming-built shape)
+    still serves topk: auto-selection restricts to tiers present."""
+    s = TieredStore(tmp_path / "store")
+    run_rollup_job(spark, lambda: t_small_df, s, "one",
+                   num_partitions=2, tiers=("1m",))
+    got = query_topk_series(spark, s, "token_volume", k=2, kind="tool")
+    assert got.count() == 2
+
+    empty = TieredStore(tmp_path / "none")
+    with pytest.raises(ValueError, match="no aggregate tier"):
+        query_topk_series(spark, empty, "token_volume", k=1)
