@@ -38,7 +38,9 @@ def main(argv=None) -> int:
     rng = sub.add_parser("range", help="aggregate range query (no decode)")
     rng.add_argument("--metric", required=True)
     rng.add_argument("--agg", default="avg",
-                     choices=["sum", "count", "min", "max", "last", "avg"])
+                     help="sum/count/min/max/last/avg, or a quantile "
+                          "(p50, p99, p99.9 — served from the "
+                          "histogram tier)")
     rng.add_argument("--step", default="1h",
                      help="bucket step <n>[smhdw]; epoch-aligned "
                           "(weeks start Thursday, as in PromQL)")

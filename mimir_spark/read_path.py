@@ -253,9 +253,30 @@ def query_range(spark: SparkSession, store, metric: str,
     job, not this path's.
 
     Returns (kind, series_key, metric, bucket_ts, value[, filled]).
+
+    ``agg`` also accepts quantiles ('p50', 'p99', 'p99.9', ...): the
+    query routes to the store's persisted histogram tier
+    (query_range_quantile) and returns the same (… bucket_ts, value)
+    shape — one dashboard verb for additive and sketch-served
+    aggregates alike. Quantile aggs do not support ``fill`` (gap-fill
+    a quantile estimate is a modeling choice, not a serving default).
     """
+    import re
+
+    qm = re.fullmatch(r"p(\d+(?:\.\d+)?)", agg)
+    if qm:
+        q = float(qm.group(1)) / 100.0
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile agg {agg!r} outside p0..p100")
+        if fill is not None:
+            raise ValueError("fill is not supported for quantile aggs")
+        return query_range_quantile(
+            spark, store, metric, qs={"value": q}, step=step, t0=t0,
+            t1=t1, kind=kind, series_key=series_key, tier=tier,
+            tiers=tiers).drop("cnt")
     if agg not in _REAGG:
-        raise ValueError(f"unknown agg {agg!r} (one of {sorted(_REAGG)})")
+        raise ValueError(f"unknown agg {agg!r} (one of "
+                         f"{sorted(_REAGG)} or pNN quantiles)")
     step_us = parse_step(step)
     tier = tier or select_tier(step, tiers)
     if step_us % TIER_US[tier] != 0:

@@ -472,3 +472,34 @@ def test_quantile_fuzz_adversarial_shapes(spark, case):
         else:
             rel = abs(got - exact) / abs(exact)
             assert rel <= 0.0101, (case, name, exact, got, rel)
+
+
+def test_query_range_quantile_agg_routing(spark, t_small_df, tmp_path):
+    """query_range(agg='p99') routes to the histogram tier and equals
+    query_range_quantile's estimate column-for-column — one dashboard
+    verb across additive and sketch-served aggregates; bad specs
+    raise."""
+    from mimir_spark.read_path import query_range, query_range_quantile
+
+    points = turn_metrics(ingest(t_small_df)) \
+        .filter(F.col("kind") == "tool")
+    s = TieredStore(tmp_path / "store")
+    s.write_hist_tier(H.rollup_histogram(points, "1h"), "1h")
+
+    via_range = query_range(spark, s, "token_volume", agg="p99",
+                            step="2h", kind="tool").toPandas() \
+        .sort_values(["series_key", "bucket_ts"]).reset_index(drop=True)
+    direct = query_range_quantile(spark, s, "token_volume",
+                                  qs={"value": 0.99}, step="2h",
+                                  kind="tool").toPandas() \
+        .sort_values(["series_key", "bucket_ts"]).reset_index(drop=True)
+    assert len(via_range) == len(direct) > 0
+    assert (via_range["value"].to_numpy()
+            == direct["value"].to_numpy()).all()
+
+    with pytest.raises(ValueError, match="outside p0..p100"):
+        query_range(spark, s, "token_volume", agg="p150")
+    with pytest.raises(ValueError, match="fill is not supported"):
+        query_range(spark, s, "token_volume", agg="p50", fill="locf")
+    with pytest.raises(ValueError, match="unknown agg"):
+        query_range(spark, s, "token_volume", agg="median")
