@@ -106,6 +106,12 @@ def main(argv=None) -> int:
     ap.add_argument("--hist-alpha", type=float, default=None,
                     help="relative-error target for --histogram bins "
                          "(default 0.01)")
+    ap.add_argument("--no-chunks", action="store_true",
+                    help="skip the Gorilla chunk sink and run only "
+                         "the cheap windowed tiers (--distinct-sketch "
+                         "/ --histogram) — the continuous-dashboard "
+                         "mode when raw-sample chunks are the nightly "
+                         "batch job's business")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--valid-from", default=None, metavar="TS",
                     help="drop rows with event time before TS")
@@ -159,13 +165,18 @@ def main(argv=None) -> int:
             w = w.trigger(availableNow=True)
         return w.start()
 
-    queries = [start(
-        streaming_rollup_chunks(reader(), tier=args.tier,
-                                watermark=args.watermark,
-                                shards=args.state_shards or None),
-        chunk_store_sink(store, args.tier, app_id=args.app_id,
-                         num_partitions=args.partitions),
-        "chunks")]
+    if args.no_chunks and not (args.distinct_sketch or args.histogram):
+        ap.error("--no-chunks leaves nothing to run (add "
+                 "--distinct-sketch and/or --histogram)")
+    queries = []
+    if not args.no_chunks:
+        queries.append(start(
+            streaming_rollup_chunks(reader(), tier=args.tier,
+                                    watermark=args.watermark,
+                                    shards=args.state_shards or None),
+            chunk_store_sink(store, args.tier, app_id=args.app_id,
+                             num_partitions=args.partitions),
+            "chunks"))
     if args.distinct_sketch:
         queries.append(start(
             streaming_distinct_sketch(reader(), tier=args.tier,

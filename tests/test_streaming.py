@@ -781,3 +781,33 @@ def test_hist_store_sink_end_to_end(spark, t_small_df, stream_dir,
         .select(*cols).toPandas() \
         .sort_values(KEY, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
+def test_stream_job_no_chunks_mode(spark, t_small_df, tmp_path):
+    """--no-chunks runs only the windowed aux tiers: the histogram
+    tier lands and serves, no chunk tier is written, and the flag
+    without any aux sink is a loud CLI error."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    try:
+        import stream_job
+    finally:
+        sys.path.pop(0)
+
+    from mimir_spark.lineage import TieredStore
+
+    src = str(tmp_path / "src")
+    t_small_df.limit(2000).write.parquet(src)
+    store_dir = str(tmp_path / "store")
+    assert stream_job.main(
+        ["--source", src, "--store", store_dir, "--tier", "1h",
+         "--once", "--histogram", "--no-chunks",
+         "--checkpoint", str(tmp_path / "ckpt")]) == 0
+    s = TieredStore(store_dir)
+    assert s.read_hist_tier(spark, "1h").count() > 0
+    assert not s.tier_dir("1h").exists()
+
+    with pytest.raises(SystemExit):
+        stream_job.main(["--source", src, "--store", store_dir,
+                         "--tier", "1h", "--once", "--no-chunks"])
