@@ -104,6 +104,16 @@ def main(argv=None) -> int:
     topk.add_argument("--bottom", action="store_true")
     topk.add_argument("--tier", default=None)
 
+    rec = sub.add_parser("recording", help="serve a recorded metric "
+                                           "(record_job output) through "
+                                           "the ordinary range path")
+    rec.add_argument("--name", required=True, help="recording rule name")
+    rec.add_argument("--agg", default="avg",
+                     help="re-aggregation over the recorded tier "
+                          "(sum/count/min/max/last/avg)")
+    rec.add_argument("--step", default=None,
+                     help="dashboard step (default: the recorded tier)")
+
     anom = sub.add_parser("anomalies", help="step buckets whose value "
                                             "deviates >= threshold "
                                             "rolling z-scores from the "
@@ -122,7 +132,7 @@ def main(argv=None) -> int:
                            "SAME phase of this period (e.g. 1d for "
                            "hour-of-day), not plain trailing buckets")
 
-    for p in (rng, rate, pts, lttb, dst, gaps, qtl, topk, anom):
+    for p in (rng, rate, pts, lttb, dst, gaps, qtl, topk, rec, anom):
         p.add_argument("--kind", default=None)
         p.add_argument("--series-key", default=None)
         p.add_argument("--t0", default=None)
@@ -194,6 +204,12 @@ def main(argv=None) -> int:
                                agg=args.agg, t0=args.t0, t1=args.t1,
                                kind=args.kind, bottom=args.bottom,
                                tier=args.tier)
+    elif args.mode == "recording":
+        from mimir_spark.recording import query_recording
+
+        df = query_recording(spark, store, args.name, agg=args.agg,
+                             step=args.step, t0=args.t0, t1=args.t1,
+                             kind=args.kind, series_key=args.series_key)
     elif args.mode == "anomalies":
         served = query_range(spark, store, args.metric, agg=args.agg,
                              step=args.step, t0=args.t0, t1=args.t1,
