@@ -405,6 +405,41 @@ def main() -> int:
             return query_range_quantile(sp, rp_store, "token_volume",
                                         step="2h", kind="tool")
 
+        def _x_alert_eval(sp, sf):
+            from mimir_spark.alerts import AlertRule, evaluate_rule
+
+            # round-5 alerting verb: a 3-bucket for-duration threshold
+            # rule over every tool series — one pruned 1h-tier scan,
+            # islands window, no decode, no Python (plan-asserted in
+            # tests); the shape a cron alert_job runs
+            rule = AlertRule(name="bench_hot", metric="token_volume",
+                             agg="sum", step="1h", op=">",
+                             threshold=5000.0, for_="3h", kind="tool")
+            return evaluate_rule(sp, rp_store, rule, t1="2026-03-01")
+
+        def _x_recording(sp, sf):
+            import shutil
+
+            from mimir_spark.recording import (RecordingRule,
+                                               recording_store,
+                                               refresh_recording)
+
+            # round-5 recording refresh: full materialization of a
+            # cross-metric ratio (tokens/turn per conversation) into a
+            # recording tier store via rollup_points + leaf swap; the
+            # recording dir is cleared first so every bench run times
+            # the full build, not a noop
+            rule = RecordingRule(name="bench_tpt", source="binop",
+                                 left_metric="token_volume",
+                                 right_metric="turn_rate", agg="sum",
+                                 op="/", step="1h", kind="conv")
+            rec = recording_store(rp_store, "bench_tpt")
+            if rec.root.exists():
+                shutil.rmtree(rec.root)
+            refresh_recording(sp, rp_store, rule, t1="2026-03-01",
+                              num_partitions=8)
+            return rec.read_tier(sp, "1h")
+
         extras = [("lttb_downsample_events", _x_lttb),
                   ("pack_sequences_docs", _x_pack),
                   ("dedup_cluster_keep", _x_cluster)]
@@ -413,6 +448,8 @@ def main() -> int:
             extras.append(("query_range_2h_avg", _x_query_range))
             extras.append(("query_range_distinct_2h", _x_query_distinct))
             extras.append(("query_range_quantile_2h", _x_query_quantile))
+            extras.append(("alert_rules_eval", _x_alert_eval))
+            extras.append(("recording_refresh_binop", _x_recording))
         for name, fn in extras:
             t0 = time.monotonic()
             try:

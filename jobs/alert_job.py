@@ -40,8 +40,13 @@ def main(argv=None) -> int:
                     help="evaluate complete buckets strictly before "
                          "this instant (default: now, UTC)")
     ap.add_argument("--t0", default=None,
-                    help="force a full rebuild from this instant "
-                         "(default: resume from the ledger)")
+                    help="window rebuild: re-evaluate from this "
+                         "instant; episodes that ended before it keep "
+                         "their recorded history, episodes overlapping "
+                         "it are replaced by the window-local "
+                         "derivation; absent rules ignore it and "
+                         "re-evaluate fully (default: resume from "
+                         "the ledger)")
     ap.add_argument("--status", action="store_true",
                     help="print open alerts from the ledger and exit")
     ap.add_argument("--show", type=int, default=50)

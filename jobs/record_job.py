@@ -40,7 +40,9 @@ def main(argv=None) -> int:
                     help="record complete buckets strictly before "
                          "this instant (default: now, UTC)")
     ap.add_argument("--t0", default=None,
-                    help="force a full rebuild from this instant")
+                    help="window recompute: re-derive dates >= this "
+                         "instant (compact --since semantics); older "
+                         "recorded dates are preserved")
     ap.add_argument("--partitions", type=int, default=8)
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)

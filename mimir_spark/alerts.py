@@ -53,11 +53,10 @@ import shutil
 from dataclasses import dataclass, fields
 from pathlib import Path
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .read_path import _utc_instant, parse_step
+from .read_path import _utc_instant, floor_step_us, parse_step, ts_of_us
 
 SERIES = ("kind", "series_key", "metric")
 
@@ -184,19 +183,10 @@ def load_rules(path: str | Path) -> list[AlertRule]:
 # signal construction
 
 
-def _floor_step_us(t: str, step_us: int) -> int:
-    """UTC instant of ``t`` floored to the step grid, in epoch us —
-    alerts evaluate only COMPLETE buckets (a partially-covered
-    trailing bucket would flap as data arrives)."""
-    ts = pd.Timestamp(t)
-    if ts.tz is not None:
-        ts = ts.tz_convert("UTC").tz_localize(None)
-    us = int(ts.value // 1000)
-    return us - (us % step_us)
-
-
-def _ts_str(us: int) -> str:
-    return str(pd.Timestamp(us * 1000))
+# complete-buckets-only boundary rule + canonical formatting live in
+# read_path (floor_step_us / ts_of_us), shared with recording rules
+_floor_step_us = floor_step_us
+_ts_str = ts_of_us
 
 
 def rule_signal(spark: SparkSession, store, rule: AlertRule,
@@ -367,8 +357,13 @@ class AlertLedger:
     def rule_dir(self, name: str) -> Path:
         return self.root / f"rule={name}"
 
+    def _meta_path(self, name: str) -> Path:
+        # NOT with_suffix: a dotted rule name ('api.p99') would have
+        # its "extension" stripped and collide with its siblings
+        return self.root / f"rule={name}.meta.json"
+
     def meta(self, name: str) -> dict | None:
-        p = self.rule_dir(name).with_suffix(".meta.json")
+        p = self._meta_path(name)
         if not p.exists():
             return None
         return json.loads(p.read_text())
@@ -382,17 +377,24 @@ class AlertLedger:
     def write(self, df: DataFrame, name: str, meta: dict) -> None:
         d = self.rule_dir(name)
         stage = self.root / "_staging" / f"rule={name}"
-        if stage.exists():
-            shutil.rmtree(stage)
+        tomb = self.root / "_staging" / f"rule={name}.old"
+        for p in (stage, tomb):
+            if p.exists():
+                shutil.rmtree(p)
         stage.parent.mkdir(parents=True, exist_ok=True)
         df.select(*EPISODE_COLS).coalesce(1).write.mode(
             "overwrite").parquet(str(stage))
+        # two renames, not rmtree-then-rename: the only crash window
+        # with the directory absent is between the renames, and
+        # run_alert_job treats a missing directory as "no ledger" and
+        # rebuilds in full regardless of the meta sidecar — a crash
+        # here loses a write, never history
         if d.exists():
-            shutil.rmtree(d)
+            d.rename(tomb)
         d.parent.mkdir(parents=True, exist_ok=True)
         stage.rename(d)
-        d.with_suffix(".meta.json").write_text(
-            json.dumps(meta, sort_keys=True))
+        shutil.rmtree(tomb, ignore_errors=True)
+        self._meta_path(name).write_text(json.dumps(meta, sort_keys=True))
 
     def open_alerts(self, spark: SparkSession) -> DataFrame | None:
         """All unresolved episodes across rules, tagged by rule name —
@@ -475,6 +477,28 @@ def _merge_incremental(spark: SparkSession, old: DataFrame,
     return old_keep.unionByName(spliced).unionByName(new_rest)
 
 
+#: z-score warmup over-read factor: trailing baselines count SAMPLES,
+#: not buckets, so a scoped rebuild reads WINDOW x SLACK buckets
+#: before t0 — exact down to ~1/SLACK bucket density; sparser series
+#: may still see a shorter baseline near t0 (the same honesty line
+#: that keeps these modes out of incremental resume)
+_WARMUP_SLACK = 4
+
+
+def _rebuild_warmup_t0(rule: AlertRule, t0: str | None) -> str | None:
+    """Baseline warmup for a scoped (--t0) rebuild of z-score rules —
+    see _WARMUP_SLACK for the exactness contract."""
+    if t0 is None or rule.mode not in ("zscore", "seasonal"):
+        return None
+    if rule.mode == "zscore":
+        lookback = (rule.window * _WARMUP_SLACK + rule.k()) \
+            * rule.step_us()
+    else:
+        lookback = (rule.window * _WARMUP_SLACK * parse_step(rule.period)
+                    + rule.k() * rule.step_us())
+    return _ts_str(_floor_step_us(t0, rule.step_us()) - lookback)
+
+
 def run_alert_job(spark: SparkSession, store, rules: list[AlertRule],
                   ledger: AlertLedger, t1: str,
                   t0: str | None = None) -> dict[str, dict]:
@@ -496,25 +520,46 @@ def run_alert_job(spark: SparkSession, store, rules: list[AlertRule],
         step_us = rule.step_us()
         t1_us = _floor_step_us(t1, step_us)
         meta = ledger.meta(rule.name)
+        old = ledger.read(spark, rule.name)
         prev_until = (meta or {}).get("evaluated_until_us")
         same_rule = (meta or {}).get("fingerprint") == rule.fingerprint()
+        # old is not None guards the torn-write case: a meta sidecar
+        # whose directory vanished (crash between the ledger swap's
+        # renames) must trigger a full-history rebuild, never an
+        # incremental resume over missing episodes
         incremental = (rule.incremental() and same_rule and t0 is None
-                       and prev_until is not None
+                       and old is not None and prev_until is not None
                        and prev_until <= t1_us)
         if incremental and prev_until == t1_us:
-            merged = ledger.read(spark, rule.name)
-            mode = "noop"
+            merged, mode = old, "noop"
         elif incremental:
-            old = ledger.read(spark, rule.name)
             w0_us = prev_until - (rule.k() - 1) * step_us
             new = evaluate_rule(spark, store, rule, t1,
                                 t0=_ts_str(w0_us), min_n=1)
-            merged = (_merge_incremental(spark, old, new, rule, w0_us)
-                      if old is not None
-                      else new.filter(F.col("n_breach") >= rule.k()))
+            merged = _merge_incremental(spark, old, new, rule, w0_us)
             mode = "incremental"
         else:
-            merged = evaluate_rule(spark, store, rule, t1, t0=t0)
+            # absent rules always re-evaluate their full history: the
+            # grid anchors on each series' FIRST observed bucket, so a
+            # t0-scoped window would silently drop open absences of
+            # series that died before the window; the full pass reads
+            # only tier rows and is bounded by retention
+            rule_t0 = None if rule.mode == "absent" else t0
+            new = evaluate_rule(spark, store, rule, t1, t0=rule_t0,
+                                warmup_t0=_rebuild_warmup_t0(rule, t0))
+            if rule_t0 is not None and old is not None:
+                # WINDOW rebuild, not a wipe: episodes that ended
+                # before the window keep their recorded history;
+                # episodes overlapping it are replaced by the
+                # window-local derivation (one crossing t0 re-derives
+                # with its start truncated to the window edge — the
+                # documented cost of a scoped rebuild)
+                cut = F.timestamp_micros(
+                    F.lit(_floor_step_us(t0, step_us)))
+                merged = old.filter(F.col("last_breach_at") < cut) \
+                    .unionByName(new.select(*EPISODE_COLS))
+            else:
+                merged = new
             mode = "full"
         if mode != "noop":
             ledger.write(

@@ -191,6 +191,23 @@ def _step_bucket(ts_col: str, step_us: int):
     return F.timestamp_micros(us - (us % F.lit(step_us))).alias("bucket_ts")
 
 
+def floor_step_us(t: str, step_us: int) -> int:
+    """UTC instant of ``t`` floored to the step grid, in epoch us —
+    the complete-buckets-only boundary rule shared by alerting and
+    recording (a partially-covered trailing bucket would flap as data
+    arrives). Same UTC-wall-clock contract as _utc_instant."""
+    tt = pd.Timestamp(t)
+    if tt.tz is not None:
+        tt = tt.tz_convert("UTC").tz_localize(None)
+    us = int(tt.value // 1000)
+    return us - (us % step_us)
+
+
+def ts_of_us(us: int) -> str:
+    """Epoch-us -> the engine's canonical boundary-string form."""
+    return str(pd.Timestamp(us * 1000))
+
+
 def parse_step(step: str) -> int:
     """'90s' / '5m' / '2h' / '1d' / '1w' -> microseconds.
 

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .lineage import TieredStore
-from .read_path import parse_step
+from .read_path import floor_step_us, parse_step, ts_of_us
 from .rollup import TIER_US
 
 SERIES = ("kind", "series_key", "metric")
@@ -137,12 +137,9 @@ def recording_meta(store, name: str) -> dict | None:
     return json.loads(p.read_text()) if p.exists() else None
 
 
-def _floor_step_us(t: str, step_us: int) -> int:
-    ts = pd.Timestamp(t)
-    if ts.tz is not None:
-        ts = ts.tz_convert("UTC").tz_localize(None)
-    us = int(ts.value // 1000)
-    return us - us % step_us
+# shared boundary rule + formatting (read_path, same as alerts)
+_floor_step_us = floor_step_us
+_ts = ts_of_us
 
 
 def derived_frame(spark: SparkSession, store, rule: RecordingRule,
@@ -177,6 +174,15 @@ def derived_frame(spark: SparkSession, store, rule: RecordingRule,
     return df.withColumn("metric", F.lit(rule.name))
 
 
+def _non_null(df: DataFrame) -> DataFrame:
+    """NULL derived values (binop zero-division, one-sided buckets)
+    must not materialize: rollup's float64 conversion would turn them
+    into NaN rows that diverge from direct serving and — since Spark
+    orders NaN above every double — spuriously breach any '>' alert
+    on the recording."""
+    return df.filter(F.col("value").isNotNull())
+
+
 def refresh_recording(spark: SparkSession, store, rule: RecordingRule,
                       t1: str, t0: str | None = None,
                       num_partitions: int = 8) -> dict:
@@ -187,31 +193,40 @@ def refresh_recording(spark: SparkSession, store, rule: RecordingRule,
     last refreshed date recomputes in full and its (p, bucket_date)
     leaves swap atomically, so a partially-recorded trailing date
     heals and untouched dates keep their leaves — re-running with the
-    same ``t1`` converges and the result equals a full rebuild. A
-    changed rule (fingerprint) or explicit ``t0`` forces a rebuild
-    (the old tier directory is cleared first so deleted source data
-    cannot leave stale recorded leaves behind)."""
+    same ``t1`` converges and the result equals a full rebuild.
+
+    An explicit ``t0`` is a WINDOW recompute (compact --since
+    semantics): leaves for dates >= t0 swap, older recorded dates are
+    preserved. Only a changed rule definition (fingerprint) or a
+    changed ``num_partitions`` (which re-keys the leaf layout — stale
+    old-p leaves would double-count otherwise) clears the tier
+    directory for a true rebuild."""
     from .rollup import rollup_points
 
     rec = recording_store(store, rule.name)
     step_us = rule.step_us()
     t1_us = _floor_step_us(t1, step_us)
     meta = recording_meta(store, rule.name)
-    same = (meta or {}).get("fingerprint") == rule.fingerprint()
+    same = ((meta or {}).get("fingerprint") == rule.fingerprint()
+            and (meta or {}).get("num_partitions") == num_partitions)
     prev_until = (meta or {}).get("refreshed_until_us")
-    if (rule.date_incremental() and same and t0 is None
+    if not same:
+        mode = "full"
+        t0 = None  # the whole window re-derives
+        tier_dir = rec.tier_dir(rule.step)
+        if tier_dir.exists():
+            shutil.rmtree(tier_dir)
+    elif (rule.date_incremental() and t0 is None
             and prev_until is not None and prev_until <= t1_us):
         if prev_until == t1_us:
             return {"mode": "noop", "touched": 0}
         t0 = str(pd.Timestamp(prev_until * 1000).date())
         mode = "incremental"
     else:
-        mode = "full"
-        tier_dir = rec.tier_dir(rule.step)
-        if tier_dir.exists():
-            shutil.rmtree(tier_dir)
+        mode = "window" if t0 is not None else "full"
     derived = derived_frame(spark, store, rule, t0, _ts(t1_us)) \
         .filter(F.col("bucket_ts") < F.timestamp_micros(F.lit(t1_us)))
+    derived = _non_null(derived)
     points = derived.select(
         "kind", "series_key", "metric",
         F.col("bucket_ts").alias("ts"),
@@ -226,15 +241,15 @@ def refresh_recording(spark: SparkSession, store, rule: RecordingRule,
             .withColumn("bucket_date", F.to_date("bucket_ts")))
     touched = rec._stage_promote(rows, rule.step, f"rec-{rule.name}")
     _meta_path(rec).parent.mkdir(parents=True, exist_ok=True)
+    # a window recompute of an OLD range must not regress the
+    # high-water mark (it would re-trigger forward recomputes)
+    until = t1_us if mode != "window" else max(t1_us, prev_until or 0)
     _meta_path(rec).write_text(json.dumps(
         {"fingerprint": rule.fingerprint(), "rule_name": rule.name,
-         "step": rule.step, "refreshed_until_us": t1_us},
+         "step": rule.step, "refreshed_until_us": until,
+         "num_partitions": num_partitions},
         sort_keys=True))
     return {"mode": mode, "touched": touched}
-
-
-def _ts(us: int) -> str:
-    return str(pd.Timestamp(us * 1000))
 
 
 def query_recording(spark: SparkSession, store, name: str,

@@ -435,3 +435,93 @@ def test_alert_job_cli(spark, store, tmp_path):
     # status verb runs on the written ledger
     assert alert_job.main(["--store", str(store.root), "--ledger",
                            str(led), "--status"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions: durability, window rebuilds, name hygiene
+
+
+def test_torn_ledger_write_rebuilds_full_history(spark, store, tmp_path):
+    """A meta sidecar whose directory vanished (crash between the
+    swap's renames) must trigger a full-history rebuild, not an
+    incremental resume that forgets everything before W0."""
+    import shutil as _sh
+
+    rule = _rule()
+    ledger = AlertLedger(tmp_path / "led")
+    run_alert_job(spark, store, [rule], ledger, t1=T1)
+    want = _ledger_frame(spark, ledger, rule.name)
+    _sh.rmtree(ledger.rule_dir(rule.name))  # simulate the torn write
+    assert ledger.meta(rule.name) is not None  # stale meta survives
+    rep = run_alert_job(spark, store, [rule], ledger, t1=T1)
+    assert rep[rule.name]["mode"] == "full"
+    assert_episodes_equal(_ledger_frame(spark, ledger, rule.name), want)
+
+
+def test_t0_window_rebuild_preserves_history(spark, store, tmp_path):
+    """--t0 re-evaluates a window; episodes that ENDED before it keep
+    their recorded history instead of being wiped."""
+    rule = _rule()
+    ledger = AlertLedger(tmp_path / "led")
+    run_alert_job(spark, store, [rule], ledger, t1=T1)
+    before = _ledger_frame(spark, ledger, rule.name)
+    cut = before["last_breach_at"].sort_values().iloc[len(before) // 2] \
+        + pd.Timedelta(hours=1)
+    rep = run_alert_job(spark, store, [rule], ledger, t1=T1,
+                        t0=str(cut))
+    assert rep[rule.name]["mode"] == "full"
+    after = _ledger_frame(spark, ledger, rule.name)
+    old_kept = before[before["last_breach_at"] < cut]
+    assert len(old_kept) > 0
+    assert_episodes_equal(
+        after[after["last_breach_at"] < cut], old_kept)
+    # episodes fully inside the window re-derive identically here
+    # (no crossing at this cut on the fixture would truncate)
+    assert len(after) == len(before)
+
+
+def test_zscore_t0_rebuild_warms_baseline(spark, store, tmp_path):
+    """A --t0 rebuild of a zscore rule reads warmup buckets before t0
+    so in-window episodes match the full-history evaluation."""
+    rule = _rule(mode="zscore", threshold=2.0, window=8, for_=None,
+                 agg="avg")
+    full = evaluate_rule(spark, store, rule, t1=T1).toPandas()
+    assert len(full) > 0
+    t0 = str(full["started_at"].min())  # window starts at first episode
+    ledger = AlertLedger(tmp_path / "led")
+    rep = run_alert_job(spark, store, [rule], ledger, t1=T1, t0=t0)
+    assert rep[rule.name]["mode"] == "full"
+    got = _ledger_frame(spark, ledger, rule.name)
+    cut = pd.Timestamp(t0)
+    assert_episodes_equal(got, full[full["started_at"] >= cut])
+
+
+def test_dotted_rule_names_keep_separate_meta(spark, store, tmp_path):
+    """Prometheus-style dotted names must not collide on the meta
+    sidecar path (Path.with_suffix would strip '.p99')."""
+    ledger = AlertLedger(tmp_path / "led")
+    rules = [_rule(name="api.p99", threshold=100.0),
+             _rule(name="api.p50", threshold=150.0)]
+    run_alert_job(spark, store, rules, ledger, t1=T1)
+    m99, m50 = ledger.meta("api.p99"), ledger.meta("api.p50")
+    assert m99["rule_name"] == "api.p99"
+    assert m50["rule_name"] == "api.p50"
+    assert m99["fingerprint"] != m50["fingerprint"]
+    rep = run_alert_job(spark, store, rules, ledger, t1=T1)
+    assert {r["mode"] for r in rep.values()} == {"noop"}
+
+
+def test_absent_rule_ignores_t0_window(spark, store, tmp_path):
+    """--t0 must not scope an absent rule: its grid anchors on each
+    series' first observed bucket, so a window would drop open
+    absences of series that died before it. The rule re-evaluates its
+    full history instead."""
+    rule = AlertRule(name="died", metric="turn_rate", mode="absent",
+                     step="1h", for_="6h", kind="conv")
+    ledger = AlertLedger(tmp_path / "led")
+    run_alert_job(spark, store, [rule], ledger, t1=T1)
+    want = _ledger_frame(spark, ledger, rule.name)
+    rep = run_alert_job(spark, store, [rule], ledger, t1=T1,
+                        t0="2026-02-01")
+    assert rep[rule.name]["mode"] == "full"
+    assert_episodes_equal(_ledger_frame(spark, ledger, rule.name), want)

@@ -211,3 +211,87 @@ def test_record_job_cli_and_query_verb(spark, store, tmp_path):
     want = canon(query_range(spark, store, "token_volume", agg="sum",
                              step="1d", kind="tool", t1=T1).toPandas())
     pd.testing.assert_series_equal(got["value"], want["value"])
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+
+
+def test_t0_window_recompute_preserves_older_dates(spark, store):
+    """--t0 re-derives only dates >= t0 (leaf swap); recorded history
+    before it must survive — a scoped heal, not a wipe."""
+    rule = RecordingRule(name="win", source="range",
+                         metric="token_volume", agg="sum", step="1h",
+                         kind="tool")
+    refresh_recording(spark, store, rule, t1=T1)
+    before = canon(query_recording(spark, store, "win").toPandas())
+    dates = sorted(before["bucket_ts"].dt.date.unique())
+    assert len(dates) > 2
+    cut = str(dates[len(dates) // 2])
+    rep = refresh_recording(spark, store, rule, t1=T1, t0=cut)
+    assert rep["mode"] == "window"
+    after = canon(query_recording(spark, store, "win").toPandas())
+    pd.testing.assert_frame_equal(after, before)
+    # the high-water mark did not regress
+    assert recording_meta(store, "win")["refreshed_until_us"] == \
+        recording_meta(store, "tool_tokens")["refreshed_until_us"]
+
+
+def test_binop_nulls_never_materialize_nan(spark, tmp_path):
+    """Zero-division NULLs must be dropped before rollup (float64
+    conversion would mint NaN rows that diverge from direct serving
+    and — NaN ordering above every double — break > alerts). Crafted
+    store: one bucket's denominator is 0."""
+    import numpy as np
+
+    ts = [pd.Timestamp(f"2026-01-05 0{i}:00:00").to_pydatetime()
+          for i in range(4)]
+    rows = []
+    for t, num, den in zip(ts, (10.0, 20.0, 30.0, 40.0),
+                           (2.0, 0.0, 5.0, 8.0)):
+        for metric, v in (("num", num), ("den", den)):
+            rows.append(("conv", "c1", metric, t, 1, v, v, v, v, None))
+    df = spark.createDataFrame(
+        rows, "kind string, series_key string, metric string, "
+              "bucket_ts timestamp, cnt long, sum_v double, "
+              "min_v double, max_v double, last_v double, chunk binary")
+    s2 = TieredStore(tmp_path / "zstore")
+    s2.write_partition(df, "1h", 0)
+    rule = RecordingRule(name="ratio", source="binop",
+                         left_metric="num", right_metric="den",
+                         agg="sum", op="/", step="1h")
+    refresh_recording(spark, s2, rule, t1=T1)
+    got = canon(query_recording(spark, s2, "ratio").toPandas())
+    # the zero-denominator bucket is ABSENT, not NaN
+    assert len(got) == 3
+    assert not got["value"].isna().any()
+    assert np.isfinite(got["value"]).all()
+    assert got["value"].tolist() == [5.0, 6.0, 5.0]
+    # and an > alert on the recording sees no spurious breach
+    from mimir_spark.alerts import AlertRule, evaluate_rule
+
+    arule = AlertRule(name="hot", metric="ratio", agg="sum",
+                      step="1h", op=">", threshold=100.0, tier="1h")
+    assert evaluate_rule(spark, recording_store(s2, "ratio"), arule,
+                         t1=T1).count() == 0
+
+
+def test_changed_partitions_forces_rebuild(spark, store):
+    """num_partitions re-keys the (p, date) leaf layout: an
+    incremental refresh under a different value would leave stale
+    old-p leaves double-counting — it must rebuild instead."""
+    rule = RecordingRule(name="pts", source="range",
+                         metric="token_volume", agg="sum", step="1h",
+                         kind="tool")
+    refresh_recording(spark, store, rule, t1="2026-01-09 07:30",
+                      num_partitions=8)
+    rep = refresh_recording(spark, store, rule, t1=T1,
+                            num_partitions=4)
+    assert rep["mode"] == "full"
+    got = canon(query_recording(spark, store, "pts").toPandas())
+    want = canon(query_range(spark, store, "token_volume", agg="sum",
+                             step="1h", kind="tool", t1=T1).toPandas())
+    pd.testing.assert_series_equal(got["value"], want["value"])
+    # and same partitions resumes incrementally as before
+    assert refresh_recording(spark, store, rule, t1=T1,
+                             num_partitions=4)["mode"] == "noop"
