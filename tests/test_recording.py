@@ -295,3 +295,32 @@ def test_changed_partitions_forces_rebuild(spark, store):
     # and same partitions resumes incrementally as before
     assert refresh_recording(spark, store, rule, t1=T1,
                              num_partitions=4)["mode"] == "noop"
+
+
+def test_recording_store_composes_with_retention(spark, store):
+    """Recordings ARE tier stores: apply_retention expires their old
+    date partitions, and a later incremental refresh does not
+    resurrect expired dates (it only recomputes from the high-water
+    date forward)."""
+    from mimir_spark.lineage import apply_retention
+
+    rule = RecordingRule(name="ret", source="range",
+                         metric="token_volume", agg="sum", step="1h",
+                         kind="tool")
+    refresh_recording(spark, store, rule, t1="2026-01-12")
+    rec = recording_store(store, "ret")
+    before = canon(query_recording(spark, store, "ret").toPandas())
+    dates = sorted(before["bucket_ts"].dt.date.unique())
+    assert len(dates) > 3
+    keep, as_of = 3, str(dates[-1])
+    dropped = apply_retention(rec, {"1h": f"{keep}d"}, as_of)
+    assert len(dropped["1h"]) > 0
+    kept_dates = {d for d in dates
+                  if (dates[-1] - d).days < keep}
+    after = canon(query_recording(spark, store, "ret").toPandas())
+    assert set(after["bucket_ts"].dt.date.unique()) == kept_dates
+    # incremental refresh past the expiry does not resurrect old dates
+    rep = refresh_recording(spark, store, rule, t1=T1)
+    assert rep["mode"] == "incremental"
+    final = canon(query_recording(spark, store, "ret").toPandas())
+    assert min(final["bucket_ts"].dt.date.unique()) == min(kept_dates)
