@@ -401,18 +401,33 @@ def _encode_many_general(ts: np.ndarray, vals: np.ndarray,
     t_packed, t_off, t_bits = _pack_groups(tv, tn, group_starts * 2, group_ends * 2)
     v_packed, v_off, v_bits = _pack_groups(vv, vn, group_starts * 3, group_ends * 3)
 
-    t_buf = t_packed.tobytes()
-    v_buf = v_packed.tobytes()
-    out = []
-    npoints = (group_ends - group_starts).tolist()
-    t_off_l, v_off_l = t_off.tolist(), v_off.tolist()
-    t_bits_l, v_bits_l = t_bits.tolist(), v_bits.tolist()
-    for g in range(ngroups):
-        header = _HEADER.pack(MAGIC, VERSION, npoints[g], t_bits_l[g], v_bits_l[g])
-        out.append(header
-                   + t_buf[t_off_l[g]:t_off_l[g + 1]]
-                   + v_buf[v_off_l[g]:v_off_l[g + 1]])
-    return out
+    # vectorized assembly: headers + both substreams scattered into ONE
+    # output buffer, then sliced per group — replaces a per-group
+    # Python loop of struct.pack + double bytes-concat (measured ~15%
+    # of encode wall on million-group partitions)
+    tlen = np.diff(t_off)
+    vlen = np.diff(v_off)
+    glen = HEADER_LEN + tlen + vlen
+    o = np.concatenate([[0], np.cumsum(glen)])
+    out_buf = np.empty(int(o[-1]), dtype=np.uint8)
+    hdr = np.empty((ngroups, HEADER_LEN), dtype=np.uint8)
+    hdr[:, 0] = MAGIC
+    hdr[:, 1] = VERSION
+    npoints = group_ends - group_starts
+    hdr[:, 2:6] = npoints.astype("<u4").view(np.uint8).reshape(ngroups, 4)
+    hdr[:, 6:10] = t_bits.astype("<u4").view(np.uint8).reshape(ngroups, 4)
+    hdr[:, 10:14] = v_bits.astype("<u4").view(np.uint8).reshape(ngroups, 4)
+    hdr_dest = (o[:-1, None] + np.arange(HEADER_LEN)).ravel()
+    out_buf[hdr_dest] = hdr.ravel()
+    if len(t_packed):
+        within = np.arange(len(t_packed)) - np.repeat(t_off[:-1], tlen)
+        out_buf[np.repeat(o[:-1] + HEADER_LEN, tlen) + within] = t_packed
+    if len(v_packed):
+        within = np.arange(len(v_packed)) - np.repeat(v_off[:-1], vlen)
+        out_buf[np.repeat(o[:-1] + HEADER_LEN + tlen, vlen) + within] = v_packed
+    raw = out_buf.tobytes()
+    o_l = o.tolist()
+    return [raw[o_l[g]:o_l[g + 1]] for g in range(ngroups)]
 
 
 def encode_chunk(ts: np.ndarray, vals: np.ndarray) -> bytes:

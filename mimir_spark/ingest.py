@@ -31,6 +31,87 @@ def token_count_col(text_col="text"):
     ).otherwise(F.size(F.split(t, WS_RE)))
 
 
+def _token_counts_arrow(arr):
+    """Vectorized token count over one Arrow string array — bit-exact
+    replay of ``token_count_col``, i.e. of
+    ``size(split(trim(text), '[ \\t\\n\\r]+'))`` with empty/null -> 0.
+
+    The JVM semantics being replayed, exactly:
+
+    - ``trim`` strips SPACES only (0x20), not tabs/newlines;
+    - ``split`` uses Java ``Pattern.split(s, -1)``: trailing AND
+      leading empty fields are kept, so the size equals (number of
+      separator runs in the space-trimmed text) + 1;
+    - whitespace = {space, \\t, \\n, \\r}. Byte-level run counting is
+      exact for UTF-8: those four bytes never occur inside a
+      multi-byte sequence.
+
+    Measured (local[4], 3.56M turns): the Java-regex split on the scan
+    cost ~14 s; this pass is a handful of memory-bandwidth numpy scans.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    n = len(arr)
+    if n == 0:
+        return pa.array([], type=pa.int32())
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        arr = arr.cast(pa.string())
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset: arr.offset + n + 1].astype(np.int64)
+    if bufs[2] is None or len(bufs[2]) == 0:
+        tok = np.zeros(n, dtype=np.int64)
+    else:
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        ws = (data == 32) | (data == 9) | (data == 10) | (data == 13)
+        # per-row bounds of the space-trimmed text: first/last
+        # non-space byte. pos lists every non-space byte; searchsorted
+        # maps each row's [a, b) onto it.
+        pos = np.flatnonzero(data != 32)
+        a, b = off[:-1], off[1:]
+        lo = np.searchsorted(pos, a, side="left")
+        hi = np.searchsorted(pos, b, side="left")
+        nonempty = hi > lo
+        # separator-run starts, buffer-global: ws byte whose
+        # predecessor is not ws (position 0 handled via the row-local
+        # correction below). rpos lists them sparsely — searchsorted
+        # over ~token-count entries beats a prefix sum over every byte
+        # of the buffer (measured: 90 ms vs 150-300 ms per 34 MB).
+        rs = ws.copy()
+        rs[1:] &= ~ws[:-1]
+        rs[0] = False
+        rpos = np.flatnonzero(rs)
+        tok = np.zeros(n, dtype=np.int64)
+        first = pos[np.minimum(lo, len(pos) - 1)]
+        last = pos[np.maximum(hi - 1, 0)]
+        # separator runs in the trimmed row = global run starts in
+        # (first, last] (their predecessors lie inside the row, so
+        # global == row-local) + 1 if ``first`` itself is ws (a tab or
+        # newline survives the space-only trim and always starts a
+        # run row-locally, whatever precedes it in the buffer)
+        runs = (np.searchsorted(rpos, last + 1, side="left")
+                - np.searchsorted(rpos, first + 1, side="left")) + ws[first]
+        tok[nonempty] = runs[nonempty] + 1
+    if arr.null_count:
+        tok[arr.is_null().to_numpy(zero_copy_only=False)] = 0
+    return pa.array(tok.astype(np.int32), type=pa.int32())
+
+
+def _narrow_turns_arrow_fn(iterator):
+    """mapInArrow body for ``narrow_turns``: pass the five narrow
+    columns through untouched, reduce ``text`` to ``n_tok``."""
+    import pyarrow as pa
+
+    for batch in iterator:
+        cols = [batch.column(i) for i in range(batch.num_columns - 1)]
+        names = batch.schema.names[:-1]
+        cols.append(_token_counts_arrow(batch.column(batch.num_columns - 1)))
+        names.append("n_tok")
+        yield pa.RecordBatch.from_arrays(cols, names=names)
+
+
 def dedup_turns(df: DataFrame) -> DataFrame:
     """Keep exactly one row per (conv_id, turn_idx), deterministically.
 
@@ -88,11 +169,22 @@ def narrow_turns(df: DataFrame) -> DataFrame:
     Dedup tie-break here is (ts, role, tool, n_tok) — sufficient for
     rollup determinism because every downstream metric is a function of
     exactly those columns; colliding rows that agree on all of them
-    produce identical rollups whichever survives."""
-    return df.select(
-        "conv_id", "turn_idx", "role", "tool", "ts",
-        token_count_col().alias("n_tok"),
-    )
+    produce identical rollups whichever survives.
+
+    The tokenizer runs as a vectorized Arrow pass
+    (``_token_counts_arrow``), not the Java-regex ``split``: counting
+    non-whitespace byte runs is numerically identical (asserted by
+    tests) and removed ~half of the flagship rollup's scan stage
+    (guide §4.2 — batch-level native code beats JVM regex row loops).
+    The explicit select keeps column pruning at the scan: exactly the
+    six needed columns are read."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base = df.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+    out_schema = StructType(
+        [f for f in base.schema.fields if f.name != "text"]
+        + [StructField("n_tok", IntegerType())])
+    return base.mapInArrow(_narrow_turns_arrow_fn, out_schema)
 
 
 def compose_helpers(*helpers):

@@ -1,0 +1,80 @@
+"""Round-6 optimization equivalence tests.
+
+Each optimization that changed an operator's internals gets a direct
+old-vs-new equivalence assertion here:
+
+- ``narrow_turns`` now computes ``n_tok`` in a vectorized Arrow pass
+  (`ingest._token_counts_arrow`) instead of the JVM regex split; the
+  two must agree byte-for-byte on every edge case of the quirky
+  ``size(split(trim(text), ws))`` spec (space-only trim, kept
+  leading/trailing empty fields).
+- the flagship tool branch uses `rollup._tool_points_fast`, which must
+  be row-identical to ``turn_metrics(...).filter(kind == 'tool')``.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimir_spark.ingest import (narrow_turns, token_count_col,
+                                turn_metrics)
+from mimir_spark.rollup import _tool_points_fast
+
+EDGE_TEXTS = [
+    "hello world",
+    "  leading and trailing  ",
+    "tab\tsep\ncr\rmix \t\r\n end",
+    "",
+    None,
+    "   \t\n  ",          # space-trim leaves '\t\n' -> 2 fields
+    "unicode café 你好  nbsp",
+    "x",
+    "a\n",                 # trailing newline -> kept empty field
+    "\ta",                 # leading tab -> kept empty field
+    "\t",
+    " \t ",
+    "a  b",
+    "word " * 500 + "\tend",
+    "\r\na\r\nb\r\n",
+    " ",
+    "\x0bvertical\x0c",    # \x0b/\x0c are NOT whitespace for this spec
+]
+
+
+@pytest.fixture(scope="module")
+def edge_turns_df(spark):
+    rows = [("c1", i, "user" if i % 3 else "tool",
+             "bash" if i % 3 == 0 else None,
+             f"2026-01-01 00:{i:02d}:00", t)
+            for i, t in enumerate(EDGE_TEXTS)]
+    return (
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, "
+                  "tool string, ts string, text string")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def test_arrow_token_count_matches_jvm_regex(spark, edge_turns_df):
+    got = {r["turn_idx"]: r["n_tok"]
+           for r in narrow_turns(edge_turns_df).collect()}
+    want = {r["turn_idx"]: r["n_tok"]
+            for r in edge_turns_df.select(
+                "turn_idx", token_count_col().alias("n_tok")).collect()}
+    assert got == want
+
+
+def test_arrow_token_count_matches_on_fixture(spark, t_small_df):
+    new = narrow_turns(t_small_df).select("conv_id", "turn_idx", "n_tok")
+    old = t_small_df.select("conv_id", "turn_idx",
+                            token_count_col().alias("n_tok"))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
+def test_tool_points_fast_matches_turn_metrics(spark, t_small_df):
+    turns = narrow_turns(t_small_df)
+    fast = _tool_points_fast(turns)
+    ref = turn_metrics(turns).filter(F.col("kind") == "tool")
+    assert fast.columns == ref.columns
+    assert fast.exceptAll(ref).count() == 0
+    assert ref.exceptAll(fast).count() == 0
