@@ -512,10 +512,15 @@ def dup_components(pairs: DataFrame, a_col: str = "doc_a",
         s, mins = neighborhoods_min(edges)
         large = (s.join(mins, "u").filter(F.col("v") > F.col("u"))
                  .select(F.col("v").alias("u"), F.col("m").alias("v")))
-        edges = spill(large.filter(F.col("u") != F.col("v")).distinct(),
-                      f"edges_l{i % 2}")
-        # small-star: (v, m) for v in N(u)+{u}, v <= u, v != m
-        s, mins = neighborhoods_min(edges)
+        mid = large.filter(F.col("u") != F.col("v")).distinct()
+        # small-star: (v, m) for v in N(u)+{u}, v <= u, v != m —
+        # composed over the large-star output in the SAME plan: one
+        # parquet spill per round still truncates the iteration's
+        # lineage (the flat-cost property measured in round 4) while
+        # halving the spill round trips (r6: ~0.7-0.9 s per round at
+        # sf0.1 was pure write+read+job overhead of the mid-round
+        # spill)
+        s, mins = neighborhoods_min(mid)
         small = (s.join(mins, "u").filter(F.col("v") < F.col("u"))
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
                  .union(mins.select(F.col("u"), F.col("m").alias("v"))))

@@ -498,8 +498,19 @@ def _mergeable_store_sink(store, app_id: str, *, root, metrics_dir,
                 staged = root / f".stage-{d}-{app_id}-{batch_key}"
                 if staged.exists():
                     shutil.rmtree(staged)
-                merged.coalesce(1).sortWithinPartitions(
-                    "kind", "series_key", "metric", "bucket_ts") \
+                # AUX_SHARDS parallel writers per date dir, not one:
+                # the merge rewrites the WHOLE date partition, which
+                # at conv granularity is the r5 verdict's multi-GB
+                # single reducer. Partitioning on the full-cardinality
+                # series hash (not a mod-P shard id — 8 distinct
+                # values hashed into 8 partitions would collide, guide
+                # §2.5) spreads evenly; each file stays series-sorted
+                # so row-group stats prune exactly as before.
+                from ..lineage import AUX_SHARDS
+                merged.repartition(AUX_SHARDS,
+                                   F.xxhash64("kind", "series_key")) \
+                    .sortWithinPartitions(
+                        "kind", "series_key", "metric", "bucket_ts") \
                     .write.mode("overwrite").parquet(str(staged))
                 (staged / _SKETCH_LEDGER).write_text(
                     json.dumps(applied + [entry]))

@@ -71,6 +71,42 @@ def test_arrow_token_count_matches_on_fixture(spark, t_small_df):
     assert old.exceptAll(new).count() == 0
 
 
+def test_aux_tier_write_is_sharded(spark, t_small_df, tmp_path):
+    """Aux (sketch/hist) tier writes must be ABLE to fan out to
+    multiple tasks per bucket_date leaf — the r5 write-path scale
+    finding: the old repartition key (bucket_date alone) pinned every
+    date to ONE reducer by key cardinality, which AQE can never
+    split. The new (bucket_date, series-shard) key fans out; AQE
+    coalescing still merges small leaves (scale-adaptive), so the
+    fan-out is asserted with coalescing off, and the read-back must
+    stay identical either way."""
+    from mimir_spark.ingest import ingest, turn_metrics
+    from mimir_spark.lineage import TieredStore
+    from mimir_spark.rollup import rollup_distinct_sketch
+
+    points = turn_metrics(ingest(t_small_df))
+    sk = rollup_distinct_sketch(points, "1h")
+    store = TieredStore(tmp_path / "store")
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        store.write_sketch_tier(sk, "1h")
+    finally:
+        spark.conf.set(key, prev)
+    date_dirs = sorted((tmp_path / "store" / "sketch=1h").glob("bucket_date=*"))
+    assert date_dirs, "no date leaves written"
+    files_per_leaf = [len(list(d.glob("*.parquet"))) for d in date_dirs]
+    assert max(files_per_leaf) > 1, files_per_leaf
+    back = store.read_sketch_tier(spark, "1h") \
+        .select("kind", "series_key", "metric", "bucket_ts", "cnt",
+                "n_distinct")
+    ref = sk.select("kind", "series_key", "metric", "bucket_ts", "cnt",
+                    "n_distinct")
+    assert back.exceptAll(ref).count() == 0
+    assert ref.exceptAll(back).count() == 0
+
+
 def test_tool_points_fast_matches_turn_metrics(spark, t_small_df):
     turns = narrow_turns(t_small_df)
     fast = _tool_points_fast(turns)
