@@ -527,6 +527,16 @@ def run_alert_job(spark: SparkSession, store, rules: list[AlertRule],
         # whose directory vanished (crash between the ledger swap's
         # renames) must trigger a full-history rebuild, never an
         # incremental resume over missing episodes
+        if (same_rule and prev_until is not None and t1_us < prev_until):
+            # a stale --t1 behind the ledger's high-water mark would
+            # rebuild truncated history and silently discard recorded
+            # episodes after t1; refuse instead (recording.py guards
+            # its high-water mark the same way)
+            raise ValueError(
+                f"rule {rule.name!r}: t1={t1!r} is before the ledger's "
+                f"evaluated_until ({_ts_str(prev_until)}); refusing to "
+                "regress the high-water mark — pass a t1 at or after "
+                "it (or change the rule to force a rebuild)")
         incremental = (rule.incremental() and same_rule and t0 is None
                        and old is not None and prev_until is not None
                        and prev_until <= t1_us)
@@ -543,8 +553,16 @@ def run_alert_job(spark: SparkSession, store, rules: list[AlertRule],
             # grid anchors on each series' FIRST observed bucket, so a
             # t0-scoped window would silently drop open absences of
             # series that died before the window; the full pass reads
-            # only tier rows and is bounded by retention
-            rule_t0 = None if rule.mode == "absent" else t0
+            # only tier rows and is bounded by retention.
+            # A CHANGED rule definition likewise forces the full
+            # history regardless of the caller's t0: the documented
+            # invariant is that a new fingerprint invalidates the
+            # ledger, so episodes recorded under the old definition
+            # must not survive stamped with the new one
+            # (recording.refresh_recording forces t0=None the same
+            # way)
+            rule_t0 = None if (rule.mode == "absent"
+                               or not same_rule) else t0
             new = evaluate_rule(spark, store, rule, t1, t0=rule_t0,
                                 warmup_t0=_rebuild_warmup_t0(rule, t0))
             if rule_t0 is not None and old is not None:

@@ -87,6 +87,12 @@ def rollup_histogram(points: DataFrame, tier: str, value_col: str = "v",
     scale."""
     g = gamma_of(alpha)
     v = F.col(value_col).cast("double")
+    # NULL values must not bin at all: the sign expression's
+    # .otherwise(0) would silently count them as zeros, skewing
+    # quantiles downward for any caller whose points frame does not
+    # pre-filter NULLs (turn_metrics does; custom extractors and
+    # recording outputs need not)
+    points = points.filter(v.isNotNull())
     sgn = (F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1))
            .otherwise(F.lit(0)))
     idx = F.when(v == 0, F.lit(0)).otherwise(_bin_index(v, g))

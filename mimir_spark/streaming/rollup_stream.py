@@ -227,6 +227,9 @@ def streaming_histogram(stream: DataFrame, tier: str = "1m",
     unit = _TIER_UNIT[tier]
     points = _deduped_points(stream, watermark)
     v = F.col("v").cast("double")
+    # NULL values never bin (same guard as rollup_histogram: the sign
+    # fall-through would count them as zeros)
+    points = points.filter(v.isNotNull())
     sgn = (F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1))
            .otherwise(F.lit(0)))
     idx = F.when(v == 0, F.lit(0)).otherwise(_bin_index(v, g))

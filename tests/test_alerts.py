@@ -525,3 +525,50 @@ def test_absent_rule_ignores_t0_window(spark, store, tmp_path):
                         t0="2026-02-01")
     assert rep[rule.name]["mode"] == "full"
     assert_episodes_equal(_ledger_frame(spark, ledger, rule.name), want)
+
+
+def test_changed_rule_with_t0_still_rebuilds_full_history(
+        spark, store, tmp_path):
+    """A changed fingerprint invalidates the ledger even when the
+    caller passes an explicit --t0: episodes recorded under the OLD
+    definition must not survive stamped with the new one (r6 advice
+    fix — recording.refresh_recording already forced this)."""
+    ledger = AlertLedger(tmp_path / "led")
+    run_alert_job(spark, store, [_rule()], ledger, t1=T1)
+    new_rule = _rule(threshold=150.0)
+    rep = run_alert_job(spark, store, [new_rule], ledger, t1=T1,
+                        t0="2026-01-07")
+    assert rep["r"]["mode"] == "full"
+    want = evaluate_rule(spark, store, new_rule, t1=T1).toPandas()
+    assert_episodes_equal(_ledger_frame(spark, ledger, "r"), want)
+
+
+def test_stale_t1_refused_instead_of_regressing_ledger(
+        spark, store, tmp_path):
+    """A t1 behind the ledger's evaluated_until high-water mark must
+    refuse, not silently rebuild truncated history (r6 advice fix)."""
+    rule = _rule()
+    ledger = AlertLedger(tmp_path / "led")
+    run_alert_job(spark, store, [rule], ledger, t1=T1)
+    before = _ledger_frame(spark, ledger, rule.name)
+    with pytest.raises(ValueError, match="high-water"):
+        run_alert_job(spark, store, [rule], ledger, t1="2026-01-07")
+    assert_episodes_equal(_ledger_frame(spark, ledger, rule.name),
+                          before)
+
+
+def test_histogram_ignores_null_values(spark, t_small_df):
+    """NULL point values must not bin as zeros (r6 advice fix)."""
+    from mimir_spark.histogram import rollup_histogram
+    from mimir_spark.ingest import ingest, turn_metrics
+
+    pts = turn_metrics(ingest(t_small_df))
+    with_nulls = pts.unionByName(
+        pts.limit(50).withColumn("v", F.lit(None).cast("double")))
+    a = rollup_histogram(pts, "1h").toPandas()
+    b = rollup_histogram(with_nulls, "1h").toPandas()
+    key = ["kind", "series_key", "metric", "bucket_ts"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert (a["cnt"] == b["cnt"]).all()
+    assert (a["zero_cnt"] == b["zero_cnt"]).all()
