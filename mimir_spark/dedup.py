@@ -48,12 +48,22 @@ def shingles_col(text_col: str = "text", n: int = 3):
 
     Docs with fewer than ``n`` tokens yield an empty array: the index
     list must be guarded because Spark's ``sequence(1, stop)`` DESCENDS
-    when stop < 1 ([1, 0]) and slice(toks, 0, n) then throws."""
-    toks = tokens_col(text_col)
-    cnt = F.size(toks)
-    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    when stop < 1 ([1, 0]) and slice(toks, 0, n) then throws.
+
+    The token array is bound as a LAMBDA VARIABLE (transform over a
+    singleton array) before the per-index transform: a lambda body
+    that embeds the raw tokenizer expression re-tokenizes the document
+    once PER SHINGLE INDEX — Spark does no common-subexpression
+    elimination inside lambda bodies (r6 finding: 3.0 s -> 0.44 s at
+    sf0.1, identical output)."""
+    def over(toks):
+        cnt = F.size(toks)
+        idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    grams = F.transform(F.array(tokens_col(text_col)), over)[0]
     return F.array_distinct(grams)
 
 

@@ -197,15 +197,22 @@ def rolling_hashes(text_col: str = "text", window: int = 8) -> Column:
     """Winnowing-style k-gram rolling hashes: xxhash64 of each
     ``window``-token gram (expression-only; selection of window minima
     is the caller's aggregation)."""
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    # guard: sequence(1, stop) DESCENDS when stop < 1, and slice(toks, 0,
-    # w) then throws — short docs must yield an empty gram list instead
-    idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window)))
-    )
+    # token array bound as a lambda variable (transform over a
+    # singleton array): embedding the tokenizer expression in the
+    # per-index lambda body would re-tokenize the document once per
+    # gram — no CSE inside lambda bodies (see dedup.shingles_col)
+    def over(toks):
+        n = F.size(toks)
+        # guard: sequence(1, stop) DESCENDS when stop < 1, and
+        # slice(toks, 0, w) then throws — short docs must yield an
+        # empty gram list instead
+        idx = F.when(n >= window, F.sequence(F.lit(1), n - window + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))))
+
+    return F.transform(F.array(tokens_col(text_col)), over)[0]
 
 
 def hex_doc_id(id_col) -> Column:
