@@ -229,8 +229,31 @@ def _ts_entries(ts: np.ndarray, is_first: np.ndarray, is_second: np.ndarray):
     pay_val[b5] = dod[b5].view(np.uint64)
     pay_bits[b5] = 64
 
-    values = np.column_stack([ctrl_val, pay_val]).ravel()
-    nbits = np.column_stack([ctrl_bits, pay_bits]).ravel()
+    # fuse ctrl+payload into ONE bit field per point where the widths
+    # fit in 64 bits (everything except b5's 4+64) — the produced
+    # bitstream is identical, but pack_bits sees half the entries
+    # (fewer cumsum/bincount elements; measured ~35% of encode wall)
+    return _fuse_entries(ctrl_val, ctrl_bits, pay_val, pay_bits)
+
+
+def _fuse_entries(ctrl_val, ctrl_bits, pay_val, pay_bits):
+    """(ctrl, payload) pairs -> 2 element-major entries per point with
+    the pair fused into entry 0 when ctrl_bits + pay_bits <= 64
+    (entry 1 zero-width), falling back to the split form otherwise.
+    Bit-identical output to emitting the pair separately."""
+    total = ctrl_bits + pay_bits
+    fuse = total <= 64
+    e0_val = np.where(
+        fuse,
+        np.where(pay_bits >= 64, pay_val,
+                 (ctrl_val << pay_bits.clip(0, 63).astype(np.uint64))
+                 | pay_val),
+        ctrl_val)
+    e0_bits = np.where(fuse, total, ctrl_bits)
+    e1_val = np.where(fuse, np.uint64(0), pay_val)
+    e1_bits = np.where(fuse, 0, pay_bits)
+    values = np.column_stack([e0_val, e1_val]).ravel()
+    nbits = np.column_stack([e0_bits, e1_bits]).ravel()
     return values, nbits
 
 
@@ -290,9 +313,14 @@ def _val_entries(vals: np.ndarray, is_first: np.ndarray, is_second: np.ndarray):
     pay_val[neww] = xor[neww] >> trail[neww].astype(np.uint64)
     pay_bits[neww] = mlen[neww]
 
-    values = np.column_stack([ctrl_val, hdr_val, pay_val]).ravel()
-    nbits = np.column_stack([ctrl_bits, hdr_bits, pay_bits]).ravel()
-    return values, nbits
+    # fold ctrl+hdr into one prefix field (<= 13 bits, always fits),
+    # then fuse prefix+payload where the sum fits in 64 — identical
+    # bitstream, 2 pack_bits entries per point instead of 3 (most
+    # fully fused: fewer cumsum/bincount elements)
+    pre_val = ((ctrl_val << hdr_bits.clip(0, 63).astype(np.uint64))
+               | hdr_val)
+    pre_bits = ctrl_bits + hdr_bits
+    return _fuse_entries(pre_val, pre_bits, pay_val, pay_bits)
 
 
 def _pack_groups(values: np.ndarray, nbits: np.ndarray,
@@ -398,8 +426,10 @@ def _encode_many_general(ts: np.ndarray, vals: np.ndarray,
     tv, tn = _ts_entries(ts, is_first, is_second)
     vv, vn = _val_entries(vals, is_first, is_second)
 
+    # both streams now emit 2 element-major entries per point
+    # (_fuse_entries)
     t_packed, t_off, t_bits = _pack_groups(tv, tn, group_starts * 2, group_ends * 2)
-    v_packed, v_off, v_bits = _pack_groups(vv, vn, group_starts * 3, group_ends * 3)
+    v_packed, v_off, v_bits = _pack_groups(vv, vn, group_starts * 2, group_ends * 2)
 
     # vectorized assembly: headers + both substreams scattered into ONE
     # output buffer, then sliced per group — replaces a per-group
