@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # zstd parquet output (guide §6): ~38% smaller than snappy on
+        # the transcript corpus (625 -> 386 MB) at similar read speed
+        # — less serial I/O per cold scan on the shared disk, smaller
+        # tier stores at 100 TB. Read side is codec-agnostic.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # sporadic python-worker crashes on this host wedge a stage
         # otherwise silently; faulthandler makes them diagnosable
         .config("spark.python.worker.faulthandler.enabled", "true")
