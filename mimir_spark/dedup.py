@@ -273,17 +273,20 @@ def simhash60(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(text_col)).alias("tok"),
     ).withColumn("h", _portable_hash60("tok"))
-    # vote per bit: sum(+1/-1) over tokens; bit set where sum > 0
-    votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"v{b}")
+    # vote per bit: with S_b = count of tokens with bit b set and N
+    # tokens total, the +1/-1 vote sum is 2*S_b - N, so "votes > 0"
+    # is exactly "2*S_b > N" — a plain shifted-bit sum per bit plus
+    # one shared count, cheaper in codegen than 60 CASE WHEN branches
+    # (r6: 2.29 s -> 2.00 s at sf0.1, identical hashes asserted)
+    sums = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+    agg = tok.groupBy("doc_id").agg(F.count("*").alias("_n"), *sums)
     sim = None
     for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit = F.when(2 * F.col(f"s{b}") > F.col("_n"),
+                     F.lit(1 << b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return agg.select("doc_id", sim.alias("simhash"))
 
