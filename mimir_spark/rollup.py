@@ -296,6 +296,107 @@ def _make_rollup_fast_fn(tiers, kind: str, max_points=None,
     return process
 
 
+def _conv_turns_narrow(turns: DataFrame, shard_expr=None) -> DataFrame:
+    """Narrow per-turn frame for the in-Arrow conv fan-out: one row
+    per TURN (not per point), role precoded to the metric id of its
+    role_mix series (-1 = null role, emits no role_mix point). The
+    Arrow pass explodes each turn into its metric points itself, so
+    the Spark-side sort and the JVM->Python transfer carry 3x fewer
+    rows than the exploded layout (guide §2.3 'shuffle fewer bytes'
+    applied to the serialization boundary)."""
+    role_code = (
+        F.when(F.col("role") == "user", F.lit(2))
+        .when(F.col("role") == "assistant", F.lit(3))
+        .when(F.col("role") == "tool", F.lit(4))
+        .when(F.col("role").isNotNull(), F.lit(5))
+        .otherwise(F.lit(-1))
+    )
+    extra = [shard_expr.alias("shard")] if shard_expr is not None else []
+    return turns.select(
+        F.col("conv_id").alias("series_key"), "ts", "turn_idx",
+        role_code.cast("int").alias("role_code"),
+        F.col("n_tok").cast("double").alias("tok"), *extra)
+
+
+def _make_rollup_turns_fn(tiers, kind: str, max_points=None,
+                          with_shard: bool = False):
+    """mapInPandas body over (series_key, ts, turn_idx, role_code,
+    tok[, shard]) TURN rows sorted by (series_key, ts, turn_idx)
+    within partitions: explodes each turn into its conv-kind metric
+    points in numpy and rolls every tier up in the same pass.
+
+    Equivalence to the exploded path (`_conv_points_fast` +
+    `_make_rollup_fast_fn`): for a fixed metric, selecting the
+    turn subset by mask preserves the (ts, turn_idx) order the
+    exploded sort produced, so every (series, metric, bucket) group
+    sees the same points in the same order — aggregates and chunk
+    bytes are identical (asserted by the rollup equivalence tests).
+    """
+    coarsest = TIER_US[tiers[-1]]
+    # (metric_id, mask-kind, value-kind): turn_rate/token_volume cover
+    # every turn; role_mix_<m> covers turns with role_code == m
+    def _metric_frames(key, ts_us, role, tok, shard, tiers_):
+        frames = []
+        ones = None
+        for mid in range(len(METRICS)):
+            if mid == 0:
+                k, t, sh = key, ts_us, shard
+                if ones is None or len(ones) != len(ts_us):
+                    ones = np.ones(len(ts_us), dtype=np.float64)
+                v = ones
+            elif mid == 1:
+                k, t, v, sh = key, ts_us, tok, shard
+            else:
+                m = role == mid
+                if not m.any():
+                    continue
+                k, t = key[m], ts_us[m]
+                v = np.ones(int(m.sum()), dtype=np.float64)
+                sh = None if shard is None else shard[m]
+            mid_arr = np.full(len(t), mid, dtype=np.int64)
+            frames.append(_rollup_block_fast(
+                k, mid_arr, t, v, tiers_, kind, max_points, shard=sh))
+        return frames
+
+    def process(iterator):
+        buf = None
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            buf = pdf if buf is None else pd.concat([buf, pdf],
+                                                    ignore_index=True)
+            key = buf["series_key"].to_numpy()
+            ts_us = buf["ts"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            day = ts_us - ts_us % coarsest
+            n = len(buf)
+            change = np.zeros(n, dtype=bool)
+            if n > 1:
+                change[1:] = (day[1:] != day[:-1]) | (key[1:] != key[:-1])
+            cuts = np.flatnonzero(change)
+            if len(cuts):
+                cut = int(cuts[-1])
+                role = buf["role_code"].to_numpy()
+                tok = buf["tok"].to_numpy(dtype=np.float64)
+                shard = (buf["shard"].to_numpy() if with_shard else None)
+                yield pd.concat(_metric_frames(
+                    key[:cut], ts_us[:cut], role[:cut], tok[:cut],
+                    None if shard is None else shard[:cut], tiers),
+                    ignore_index=True)
+                buf = buf.iloc[cut:].reset_index(drop=True)
+        if buf is not None and len(buf):
+            key = buf["series_key"].to_numpy()
+            ts_us = buf["ts"].to_numpy().astype("datetime64[us]") \
+                .astype(np.int64)
+            yield pd.concat(_metric_frames(
+                key, ts_us, buf["role_code"].to_numpy(),
+                buf["tok"].to_numpy(dtype=np.float64),
+                buf["shard"].to_numpy() if with_shard else None, tiers),
+                ignore_index=True)
+
+    return process
+
+
 def _tool_points_fast(turns: DataFrame) -> DataFrame:
     """Tool-kind metric explode over narrow deduped turns — row-for-row
     identical to ``turn_metrics(turns).filter(kind == 'tool')`` (plan-
@@ -347,10 +448,10 @@ def rollup_transcripts(transcripts: DataFrame,
               if num_partitions else narrow.repartition(F.col("conv_id")))
     turns = dedup_turns(narrow)
     conv = (
-        _conv_points_fast(turns)
-        .sortWithinPartitions("series_key", "metric_id", "ts", "turn_idx")
-        .select("series_key", "metric_id", "ts", "v")
-        .mapInPandas(_make_rollup_fast_fn(tiers, kind="conv", max_points=max_points),
+        _conv_turns_narrow(turns)
+        .sortWithinPartitions("series_key", "ts", "turn_idx")
+        .mapInPandas(_make_rollup_turns_fn(tiers, kind="conv",
+                                           max_points=max_points),
                      ROLLUP_SCHEMA)
     )
     tool = rollup_points(_tool_points_fast(turns), tiers=tiers,
@@ -385,15 +486,12 @@ def rollup_turns(turns: DataFrame,
                   if shard_partitions else None)
     t = (turns.repartition(num_partitions, F.col("conv_id"))
          if num_partitions else turns.repartition(F.col("conv_id")))
-    sel = ["series_key", "metric_id", "ts", "v"] + (
-        ["shard"] if shard_expr is not None else [])
     conv = (
-        _conv_points_fast(t, shard_expr=shard_expr)
-        .sortWithinPartitions("series_key", "metric_id", "ts", "turn_idx")
-        .select(*sel)
+        _conv_turns_narrow(t, shard_expr=shard_expr)
+        .sortWithinPartitions("series_key", "ts", "turn_idx")
         .mapInPandas(
-            _make_rollup_fast_fn(tiers, kind="conv", max_points=max_points,
-                                 with_shard=shard_expr is not None),
+            _make_rollup_turns_fn(tiers, kind="conv", max_points=max_points,
+                                  with_shard=shard_expr is not None),
             ROLLUP_SCHEMA)
     )
     tool_points = _tool_points_fast(t)
