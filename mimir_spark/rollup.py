@@ -426,18 +426,21 @@ def rollup_transcripts(transcripts: DataFrame,
     """End-to-end transcript rollup tuned for scale (the bench path).
 
     Plan shape (ONE wide shuffle total for ~88% of the data):
-      scan (text reduced to n_tok at the scan — never shuffled)
+      scan (text reduced to n_tok by the vectorized Arrow tokenizer
+            at the scan — never shuffled)
       -> repartition(hash(conv_id))              [shuffle 1: ~50 B rows]
       -> window dedup (reuses that partitioning)
-      -> conv-kind series: already co-located by conv_id -> int8-coded
-         metric explode + sortWithinPartitions + one Arrow pass
-         shipping only (series_key, metric_id, ts, v)    [NO shuffle]
-      -> tool-kind series (~12% of points): generic rollup_points
-         [small shuffle]; the shared shuffle-1 subtree is deduplicated
-         by Catalyst's ReuseExchange.
+      -> conv-kind series: already co-located by conv_id -> ONE narrow
+         row per TURN (series_key, ts, turn_idx, role_code, tok)
+         sorted within partitions; the Arrow pass explodes each turn
+         into its metric points in numpy (r6: 3x fewer rows sorted
+         and serialized than the JVM-exploded layout)   [NO shuffle]
+      -> tool-kind series (~12% of points): generic rollup_points over
+         the 2-entry tool explode [small shuffle]; the shared
+         shuffle-1 subtree is deduplicated by Catalyst's ReuseExchange.
 
     Equivalent to rollup_points(turn_metrics(ingest(df))) — asserted by
-    tests — but moves ~5x fewer bytes and ships ~40% fewer Arrow bytes.
+    tests — but moves ~5x fewer bytes end to end.
     """
     from .ingest import dedup_turns, narrow_turns
 
