@@ -563,8 +563,12 @@ def run_alert_job(spark: SparkSession, store, rules: list[AlertRule],
             # way)
             rule_t0 = None if (rule.mode == "absent"
                                or not same_rule) else t0
+            # warmup derives from the EFFECTIVE window start: when the
+            # rebuild was forced to full history (rule_t0=None), a
+            # warmup bound computed from the caller's t0 would silently
+            # truncate a zscore/seasonal scan to [warmup_t0, t1)
             new = evaluate_rule(spark, store, rule, t1, t0=rule_t0,
-                                warmup_t0=_rebuild_warmup_t0(rule, t0))
+                                warmup_t0=_rebuild_warmup_t0(rule, rule_t0))
             if rule_t0 is not None and old is not None:
                 # WINDOW rebuild, not a wipe: episodes that ended
                 # before the window keep their recorded history;

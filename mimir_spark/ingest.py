@@ -70,6 +70,14 @@ def _token_counts_arrow(arr):
         # non-space byte. pos lists every non-space byte; searchsorted
         # maps each row's [a, b) onto it.
         pos = np.flatnonzero(data != 32)
+        if len(pos) == 0:
+            # a batch whose every byte is a space: every row trims to
+            # empty -> 0 tokens (the pos-indexing below would IndexError
+            # on the empty array)
+            tok = np.zeros(n, dtype=np.int64)
+            if arr.null_count:
+                tok[arr.is_null().to_numpy(zero_copy_only=False)] = 0
+            return pa.array(tok.astype(np.int32), type=pa.int32())
         a, b = off[:-1], off[1:]
         lo = np.searchsorted(pos, a, side="left")
         hi = np.searchsorted(pos, b, side="left")

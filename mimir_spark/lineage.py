@@ -79,8 +79,21 @@ def _aux_shard_col():
 
 
 def _cluster_for_aux(df: DataFrame) -> DataFrame:
-    """Aux-tier variant of ``_cluster_for_store``: P write tasks per
-    bucket_date leaf instead of one (see AUX_SHARDS)."""
+    """Aux-tier variant of ``_cluster_for_store``: up to P write tasks
+    per bucket_date leaf instead of one (see AUX_SHARDS).
+
+    Key-cardinality trade, deliberate: hashing (date, shard mod P)
+    keeps files-per-leaf <= P (a shard's rows can merge with another
+    shard's via hash collision — fewer, larger files, the safe
+    direction — but never split), and a multi-date write exposes
+    dates x P keys, so total parallelism grows with the date count.
+    The alternative — repartition(P, full-cardinality series hash) as
+    the single-date streaming sink does — would cap a WHOLE nightly
+    multi-date write at P tasks. Collisions only bite when
+    spark.sql.shuffle.partitions is small relative to dates x P
+    (birthday math: ~5% expected loss at 64 partitions for one
+    date's 8 shards); production sizes shuffle partitions far above
+    that."""
     cols = [c for c in _STORE_SORT if c in df.columns]
     return df.repartition(F.col("bucket_date"), _aux_shard_col()) \
         .sortWithinPartitions("bucket_date", *cols)

@@ -453,6 +453,9 @@ def rollup_transcripts(transcripts: DataFrame,
     conv = (
         _conv_turns_narrow(turns)
         .sortWithinPartitions("series_key", "ts", "turn_idx")
+        # turn_idx is a sort tiebreak only — project it away so the
+        # opaque Arrow boundary doesn't serialize it (guide §4.1)
+        .drop("turn_idx")
         .mapInPandas(_make_rollup_turns_fn(tiers, kind="conv",
                                            max_points=max_points),
                      ROLLUP_SCHEMA)
@@ -492,6 +495,9 @@ def rollup_turns(turns: DataFrame,
     conv = (
         _conv_turns_narrow(t, shard_expr=shard_expr)
         .sortWithinPartitions("series_key", "ts", "turn_idx")
+        # turn_idx is a sort tiebreak only — project it away so the
+        # opaque Arrow boundary doesn't serialize it (guide §4.1)
+        .drop("turn_idx")
         .mapInPandas(
             _make_rollup_turns_fn(tiers, kind="conv", max_points=max_points,
                                   with_shard=shard_expr is not None),

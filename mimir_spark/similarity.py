@@ -20,8 +20,12 @@ def _lit_vec(values) -> "F.Column":
     float round-trips exactly and the ``D`` suffix makes the parser
     read it as a double, so the analyzed plan is identical to the
     per-element form."""
-    vals = ",".join(f"{float(x)!r}D" for x in values)
-    return F.expr(f"array({vals})")
+    vals = [float(x) for x in values]
+    if not all(np.isfinite(vals)):
+        # 'nanD'/'infD' do not parse; keep the old (slow, per-element)
+        # literal path for degenerate vectors so behavior is unchanged
+        return F.lit(list(vals)).cast("array<double>")
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
 
 
 def _norm_col(vec):

@@ -572,3 +572,25 @@ def test_histogram_ignores_null_values(spark, t_small_df):
     b = b.sort_values(key).reset_index(drop=True)
     assert (a["cnt"] == b["cnt"]).all()
     assert (a["zero_cnt"] == b["zero_cnt"]).all()
+
+
+def test_changed_zscore_rule_rebuild_covers_full_history(
+        spark, store, tmp_path):
+    """A changed zscore rule + explicit --t0 must rebuild the FULL
+    history, including a warmup bound derived from the effective
+    (None) window start — not from the caller's t0 (review finding:
+    warmup_t0 was silently truncating the forced full rebuild)."""
+    rule = _rule(mode="zscore", threshold=2.0, window=8, for_=None,
+                 agg="avg")
+    ledger = AlertLedger(tmp_path / "led")
+    run_alert_job(spark, store, [rule], ledger, t1=T1)
+    changed = _rule(mode="zscore", threshold=2.5, window=8, for_=None,
+                    agg="avg")
+    full = evaluate_rule(spark, store, changed, t1=T1).toPandas()
+    # t0 chosen PAST the first episodes so a t0-scoped scan would
+    # provably lose history
+    assert len(full) > 0
+    t0 = str(full["started_at"].max())
+    rep = run_alert_job(spark, store, [changed], ledger, t1=T1, t0=t0)
+    assert rep["r"]["mode"] == "full"
+    assert_episodes_equal(_ledger_frame(spark, ledger, "r"), full)

@@ -63,6 +63,26 @@ def test_arrow_token_count_matches_jvm_regex(spark, edge_turns_df):
     assert got == want
 
 
+def test_arrow_token_count_all_space_batch(spark):
+    """A batch whose every text byte is a space must count 0 tokens,
+    not crash (review finding: empty non-space position array)."""
+    import pyarrow as pa
+
+    from mimir_spark.ingest import _token_counts_arrow
+
+    out = _token_counts_arrow(pa.array([" ", "  ", "", None, "   "]))
+    assert out.to_pylist() == [0, 0, 0, 0, 0]
+    # and through the full narrow_turns path
+    rows = [("c", i, "user", None, "2026-01-01 00:00:00", t)
+            for i, t in enumerate([" ", "  ", "", None])]
+    df = (spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, "
+              "ts string, text string")
+        .withColumn("ts", F.col("ts").cast("timestamp")))
+    got = {r["turn_idx"]: r["n_tok"] for r in narrow_turns(df).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
 def test_arrow_token_count_matches_on_fixture(spark, t_small_df):
     new = narrow_turns(t_small_df).select("conv_id", "turn_idx", "n_tok")
     old = t_small_df.select("conv_id", "turn_idx",
